@@ -1,0 +1,82 @@
+"""Rank-identity end-to-end (SURVEY.md §5.2(4)): the Spark engine must
+reproduce the oracle's top-k docids AND scores (<1e-9) for the 8-query
+reference set over the synthetic corpus, for comprehensive / favorite /
+conjunctive / bm25, including phrase queries, on a 3-shard index."""
+
+import pytest
+
+from tests.conftest import PHRASE_QUERIES, REFERENCE_QUERIES
+from websearchengine_spark.operators.query import run_query
+
+
+def _spark_results(spark, root, q, ranker, k=10):
+    rows = run_query(spark, root, q, ranker=ranker, k=k).collect()
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES)
+def test_comprehensive_rank_identity(spark, built_index, oracle_index, query):
+    got = _spark_results(spark, built_index, query, "comprehensive")
+    want = oracle_index.query(query, "comprehensive", 10)
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9, (query, d1, s1, s2)
+
+
+@pytest.mark.parametrize("query", ["data mining", "google map", "apple"])
+def test_favorite_rank_identity(spark, built_index, oracle_index, query):
+    got = _spark_results(spark, built_index, query, "favorite")
+    want = oracle_index.query(query, "favorite", 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+
+
+@pytest.mark.parametrize("query", ["web search", "salsa"])
+def test_conjunctive_rank_identity(spark, built_index, oracle_index, query):
+    got = _spark_results(spark, built_index, query, "conjunctive")
+    want = oracle_index.query(query, "conjunctive", 10)
+    # all scores 1.0 -> tie-break puts lowest doc_ids first
+    assert got == want
+
+
+@pytest.mark.parametrize("query", PHRASE_QUERIES)
+def test_phrase_rank_identity(spark, built_index, oracle_index, query):
+    got = _spark_results(spark, built_index, query, "comprehensive")
+    want = oracle_index.query(query, "comprehensive", 10)
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+
+
+@pytest.mark.parametrize("query", ["data mining", "google map"])
+def test_bm25_rank_identity(spark, built_index, oracle_index, query):
+    got = _spark_results(spark, built_index, query, "bm25")
+    want = oracle_index.bm25(query, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+
+
+def test_empty_query(spark, built_index):
+    assert run_query(spark, built_index, "", k=10).count() == 0
+    assert run_query(spark, built_index, '""', k=10).count() == 0
+
+
+def test_no_match_query(spark, built_index):
+    assert run_query(spark, built_index, "zzzznonexistentterm", k=10).count() == 0
+
+
+def test_shard_count_invariance(spark, corpus_pdf, oracle_index, tmp_path):
+    """Same top-k from a differently-sharded index (distributed-merge proof)."""
+    from websearchengine_spark.operators.build import build_index
+
+    root = str(tmp_path / "idx7")
+    pages = spark.createDataFrame(corpus_pdf)
+    build_index(spark, pages, root, n_shards=7, n_groups=3)
+    for q in ["data mining", '"web search" google', "apple"]:
+        got = _spark_results(spark, root, q, "comprehensive")
+        want = oracle_index.query(q, "comprehensive", 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (d1, s1), (d2, s2) in zip(got, want):
+            assert abs(s1 - s2) < 1e-9

@@ -1,0 +1,151 @@
+"""Delta-gap + varbyte posting-block codec (numpy-vectorized).
+
+The reference stores, per term, a flat byte stream of varbyte-encoded
+(docid, position) pairs with ABSOLUTE docids repeated per occurrence
+(IndexerInvertedCompressed.java:137-154, compressInt :704-725,
+decompressArray :678-701). Its varbyte convention is big-endian 7-bit
+groups with the HIGH BIT (0x80) set on the LAST byte (terminator
+convention — the inverse of the classic continuation bit, but
+equivalent).
+
+Our format keeps the same varbyte byte convention (so hand-derived
+vectors from the reference spec validate the codec) but improves the
+layout — the index is internal state, so the format is ours to define
+(SURVEY.md §1.4, §7.3):
+
+  per (shard, term) the posting list is cut into blocks of up to
+  ``BLOCK_SIZE`` docs; each block is
+      struct<first_docid, last_docid, n, max_tf, data:binary>
+  where ``data`` is ONE varbyte stream holding, in order:
+      n doc-gaps   (gap[0] = docid[0] - first_docid == 0, then deltas)
+      n tfs
+      sum(tf) position-deltas (per doc: pos[0], then deltas)
+
+Blocks carry ``last_docid`` (skip pointer) and ``max_tf`` (score upper
+bound input) for block-max WAND.
+
+All encode/decode paths are numpy array ops — no per-value Python in
+the hot loop beyond the final ``bytes()`` copy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_MASK7 = 0x7F
+_TERM = 0x80  # set on the LAST byte of each value (reference convention)
+
+
+_MAX_GROUPS = 9  # 63 bits — covers any non-negative int64 (10^12-doc docids)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative int64s to varbyte bytes.
+
+    Big-endian 7-bit groups, 0x80 flag on the final byte of each value.
+    Vectorized: builds a (len, 9) byte matrix and compacts it with a mask.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value: 1..9
+    nb = np.ones(v.shape, dtype=np.int8)
+    for width in range(2, _MAX_GROUPS + 1):
+        nb = np.where(v >= (1 << (7 * (width - 1))), width, nb)
+    # groups[i, g] = g-th 7-bit group, most significant first
+    shifts = np.arange(_MAX_GROUPS - 1, -1, -1, dtype=np.uint64) * np.uint64(7)
+    groups = (v[:, None] >> shifts[None, :]).astype(np.uint8) & _MASK7
+    keep = np.arange(_MAX_GROUPS)[None, :] >= (_MAX_GROUPS - nb[:, None])
+    # terminator bit on the last group of each value
+    groups[:, _MAX_GROUPS - 1] |= _TERM
+    out = groups[keep]
+    return out.tobytes()
+
+
+def varbyte_decode(data: bytes | np.ndarray) -> np.ndarray:
+    """Decode a full varbyte stream back into an int64 array. Vectorized."""
+    raw = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    if raw.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_last = (raw & _TERM) != 0
+    # value id for each byte = number of terminators strictly before it
+    vid = np.zeros(raw.size, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=vid[1:])
+    n_values = int(is_last.sum())
+    # position of each byte within its value, from the END (0 = last byte)
+    ends = np.flatnonzero(is_last)
+    pos_from_end = ends[vid] - np.arange(raw.size)
+    contrib = (raw & _MASK7).astype(np.int64) << (7 * pos_from_end)
+    out = np.zeros(n_values, dtype=np.int64)
+    np.add.at(out, vid, contrib)
+    return out
+
+
+def encode_posting_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[tuple[int, int, int, int, bytes]]:
+    """Encode one term's posting list into blocks.
+
+    ``doc_ids`` strictly ascending int64 (len m); ``tfs`` int64 (len m);
+    ``positions`` int64 concatenation of each doc's ascending position
+    list (len sum(tfs)).
+
+    Returns a list of (first_docid, last_docid, n, max_tf, data) tuples.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    positions = np.asarray(positions, dtype=np.int64)
+    m = doc_ids.size
+    pos_offsets = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pos_offsets[1:])
+    blocks = []
+    for start in range(0, m, block_size):
+        end = min(start + block_size, m)
+        d = doc_ids[start:end]
+        t = tfs[start:end]
+        p = positions[pos_offsets[start] : pos_offsets[end]]
+        gaps = np.diff(d, prepend=d[0])  # gap[0] = 0
+        # per-doc position deltas: pos[0] absolute, then diffs
+        pdelta = np.diff(p, prepend=np.int64(0))
+        starts_of_docs = pos_offsets[start:end] - pos_offsets[start]
+        pdelta[starts_of_docs] = p[starts_of_docs]
+        data = varbyte_encode(np.concatenate([gaps, t, pdelta]))
+        blocks.append((int(d[0]), int(d[-1]), int(d.size), int(t.max()), data))
+    return blocks
+
+
+def decode_posting_blocks(
+    blocks: list[tuple[int, int, int, int, bytes]] | list,
+    want_positions: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Decode blocks back to (doc_ids, tfs, positions-or-None)."""
+    all_docs, all_tfs, all_pos = [], [], []
+    for first_docid, _last, n, _max_tf, data in blocks:
+        vals = varbyte_decode(np.frombuffer(data, dtype=np.uint8))
+        gaps = vals[:n]
+        tfs = vals[n : 2 * n]
+        docs = np.cumsum(gaps) + first_docid
+        all_docs.append(docs)
+        all_tfs.append(tfs)
+        if want_positions:
+            pdelta = vals[2 * n :]
+            pos = np.cumsum(pdelta)
+            # reset the running sum at each doc boundary: pdelta stores
+            # pos[0] absolute per doc, so recompute with segmented cumsum
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(tfs[:-1], out=starts[1:])
+            seg_base = np.repeat(pos[starts] - pdelta[starts], tfs)
+            all_pos.append(pos - seg_base)
+    doc_ids = np.concatenate(all_docs) if all_docs else np.empty(0, dtype=np.int64)
+    tfs = np.concatenate(all_tfs) if all_tfs else np.empty(0, dtype=np.int64)
+    positions = (
+        (np.concatenate(all_pos) if all_pos else np.empty(0, dtype=np.int64))
+        if want_positions
+        else None
+    )
+    return doc_ids, tfs, positions

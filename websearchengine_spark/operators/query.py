@@ -1,0 +1,339 @@
+"""Query-time retrieval — the Spark-first replacement for ``--mode=serve``
+(`/search`, QueryHandler.java:244-501; lifecycle traced in SURVEY.md §3.2).
+
+Path (DataFrame fallback, the correctness-reference path):
+
+    parse (QueryPhrase semantics) -> stem query words (P7/P8)
+    -> postings scan FILTERED to the query terms (Catalyst pushes the
+       ``term IN (...)`` predicate into the parquet row-group stats)
+    -> Arrow decode of posting blocks (mapInPandas)
+    -> conjunctive candidate set (J1) as groupBy(doc_id) count == k
+    -> phrase adjacency (J2) as native higher-order EXISTS over position
+       arrays (no Python in the check)
+    -> scorer columns (R1/R2/R3/BM25) over candidates ⋈ docs ⋈ term_stats
+    -> global top-k: orderBy(score desc, doc_id asc).limit(k)
+       (Catalyst TakeOrderedAndProject — the distributed bounded heap)
+
+The block-max WAND kernel (operators/topk.py) replaces the middle of
+this path at scale; this module is also its correctness oracle inside
+the test suite.
+
+Reference semantics pinned (SURVEY.md §7.3):
+  * phrase tokens are conjunctive members needing consecutive positions
+    (IndexerInvertedCompressed.java:379-436) but are split into words for
+    scoring (RankerComprehensive.java:51-56).  We count a phrase at
+    position 0 (the reference's ``result > 0`` check at :433 silently
+    drops a doc whose only phrase occurrence starts at position 0 — a
+    bug we do not reproduce; our NumPy oracle pins the fixed semantics).
+  * comprehensive score = 1.4*QL + 0.3*log(pr+1) + 0.3*log(nv+1) with
+    JM smoothing lambda=0.5 (RankerComprehensive.java:20-23,42-45,59-60;
+    the 1.4 factor is the ``logScore += lambda_1 * logScore`` self-add).
+  * tie-break everywhere: (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from websearchengine_spark.functions.analyze import analyze_query_word
+from websearchengine_spark.functions.codec import decode_posting_blocks
+from websearchengine_spark.sources.storage import IndexStorage
+
+LAMBDA_JM = 0.5
+LAMBDA_1 = 0.4  # score self-add -> effective 1.4x
+LAMBDA_2 = 0.3  # log(pagerank+1) weight
+LAMBDA_3 = 0.3  # log(numviews+1) weight
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def parse_query(query: str) -> list[str]:
+    """QueryPhrase.processQuery semantics (QueryPhrase.java:19-48).
+
+    Returns tokens; a phrase token contains spaces.  Deviation from the
+    reference (documented): consecutive spaces produce no empty tokens
+    (the reference's ``split(" ")`` yields empty strings that can never
+    match; we split on whitespace runs).
+    """
+    tokens: list[str] = []
+    start = 0
+    in_phrase = False
+    n = len(query)
+    while start < n or (start == 0 and n == 0):
+        end = query.find('"', start)
+        if end == -1:
+            sentence = query[start:].replace('"', "").strip()
+            if sentence:
+                tokens.extend(sentence.split())
+            break
+        sentence = query[start:end].replace('"', "").strip()
+        if in_phrase:
+            if sentence:
+                tokens.append(sentence)
+            in_phrase = False
+        else:
+            if sentence:
+                tokens.extend(sentence.split())
+            in_phrase = True
+        start = end + 1
+    return tokens
+
+
+def analyze_tokens(tokens: list[str]) -> list[list[str]]:
+    """Stem each word of each token; drop words that stem to empty."""
+    out = []
+    for tok in tokens:
+        words = [analyze_query_word(w) for w in tok.split()]
+        words = [w for w in words if w]
+        if words:
+            out.append(words)
+    return out
+
+
+def load_postings_for_terms(
+    spark: SparkSession,
+    store: IndexStorage,
+    terms: list[str],
+    want_positions: bool,
+) -> DataFrame:
+    """postings rows for ``terms`` decoded to (doc_id, term, tf[, positions]).
+
+    The term filter is pushed into the parquet scan; decode is one Arrow
+    pass.  Output is doc-sharded exactly like the index, so downstream
+    groupBy(doc_id) shuffles only matched rows.
+    """
+    postings = store.read_partitioned(spark, "postings").filter(
+        F.col("term").isin(list(terms))
+    )
+    schema = "doc_id long, term string, tf int" + (
+        ", positions array<int>" if want_positions else ""
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            doc_ids, terms_out, tfs, poss = [], [], [], []
+            for term, blocks in zip(pdf["term"], pdf["blocks"]):
+                blks = [
+                    (b["first_docid"], b["last_docid"], b["n"], b["max_tf"], b["data"])
+                    for b in blocks
+                ]
+                d, t, p = decode_posting_blocks(blks, want_positions=want_positions)
+                doc_ids.append(d)
+                tfs.append(t)
+                terms_out.extend([term] * len(d))
+                if want_positions:
+                    off = np.zeros(len(t) + 1, dtype=np.int64)
+                    np.cumsum(t, out=off[1:])
+                    poss.extend(
+                        [p[off[i] : off[i + 1]].astype("int32") for i in range(len(t))]
+                    )
+            out = {
+                "doc_id": np.concatenate(doc_ids) if doc_ids else np.empty(0, np.int64),
+                "term": terms_out,
+                "tf": (np.concatenate(tfs) if tfs else np.empty(0, np.int64)).astype("int32"),
+            }
+            if want_positions:
+                out["positions"] = poss
+            yield pd.DataFrame(out)
+
+    return postings.select("term", "blocks").mapInPandas(decode, schema=schema)
+
+
+def _phrase_filter(cand_terms: DataFrame, token_words: list[list[str]]) -> DataFrame:
+    """Keep only docs where every multi-word token occurs consecutively.
+
+    ``cand_terms``: (doc_id, term, tf, positions).  Builds a per-doc
+    term->positions map then applies a native EXISTS over the first
+    word's positions for each phrase (J2).
+    """
+    phrases = [ws for ws in token_words if len(ws) > 1]
+    if not phrases:
+        return cand_terms.select("doc_id").distinct()
+    pm = cand_terms.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("positions")))
+        ).alias("pm")
+    )
+    cond = None
+    for words in phrases:
+        def q(w: str) -> str:
+            return "'" + w.replace("'", "\\'") + "'"
+
+        inner = " AND ".join(
+            f"array_contains(pm[{q(w)}], p + {i})" for i, w in enumerate(words[1:], start=1)
+        )
+        e = F.expr(f"exists(pm[{q(words[0])}], p -> {inner})")
+        cond = e if cond is None else (cond & e)
+    return pm.filter(cond).select("doc_id")
+
+
+def conjunctive_candidates(
+    matches: DataFrame, token_words: list[list[str]], with_positions: bool
+) -> DataFrame:
+    """J1 (+J2): docs containing ALL distinct query terms (and phrases)."""
+    distinct_terms = sorted({w for ws in token_words for w in ws})
+    have_all = (
+        matches.groupBy("doc_id")
+        .agg(F.count("*").alias("_nt"))
+        .filter(F.col("_nt") == len(distinct_terms))
+        .select("doc_id")
+    )
+    if with_positions and any(len(ws) > 1 for ws in token_words):
+        cand_terms = matches.join(have_all, "doc_id")
+        return _phrase_filter(cand_terms, token_words)
+    return have_all
+
+
+def score_comprehensive(
+    cand: DataFrame,
+    matches: DataFrame,
+    docs: DataFrame,
+    term_stats: DataFrame,
+    token_words: list[list[str]],
+    total_tf: int,
+) -> DataFrame:
+    """R1: 1.4*QL_JM + 0.3*log(pr+1) + 0.3*log(nv+1); word multiplicity kept."""
+    spark = cand.sparkSession
+    weights = {}
+    for ws in token_words:
+        for w in ws:
+            weights[w] = weights.get(w, 0) + 1
+    wdf = spark.createDataFrame(
+        [(t, float(m)) for t, m in weights.items()], "term string, mult double"
+    )
+    scored_terms = (
+        matches.join(cand, "doc_id")
+        .join(F.broadcast(wdf), "term")
+        .join(F.broadcast(term_stats.filter(F.col("term").isin(list(weights)))), "term")
+    )
+    per_doc = (
+        scored_terms.join(docs.select("doc_id", "doc_len"), "doc_id")
+        .withColumn(
+            "_logp",
+            F.col("mult")
+            * F.log(
+                (1 - LAMBDA_JM) * F.col("tf") / F.col("doc_len")
+                + LAMBDA_JM * F.col("ctf") / F.lit(float(total_tf))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_logp").alias("ql"))
+    )
+    return (
+        per_doc.join(docs, "doc_id")
+        .withColumn(
+            "score",
+            (1.0 + LAMBDA_1) * F.col("ql")
+            + LAMBDA_2 * F.log(F.col("pagerank") + 1.0)
+            + LAMBDA_3 * F.log(F.col("numviews").cast("double") + 1.0),
+        )
+    )
+
+
+def score_favorite(cand, matches, docs, term_stats, token_words, total_tf):
+    """R2 (RankerFavorite.java:23,31-59): exp(QL), no static signals."""
+    scored = score_comprehensive(cand, matches, docs, term_stats, token_words, total_tf)
+    return scored.withColumn("score", F.exp(F.col("ql")))
+
+
+def score_conjunctive(cand, matches, docs, *_args):
+    """R3 (RankerConjunctive.java:29-35): score == 1.0 for every match."""
+    return cand.join(docs, "doc_id").withColumn("score", F.lit(1.0))
+
+
+def score_bm25(cand, matches, docs, term_stats, token_words, total_tf, num_docs, avg_dl):
+    """Standard BM25 (k1=1.2, b=0.75), Lucene-style non-negative idf.
+
+    The north_rule names BM25; the reference's own scorer is R1 (see
+    SURVEY.md §2.8 note).  Both are exposed behind the same machinery.
+    """
+    weights = {}
+    for ws in token_words:
+        for w in ws:
+            weights[w] = weights.get(w, 0) + 1
+    spark = cand.sparkSession
+    wdf = spark.createDataFrame(
+        [(t, float(m)) for t, m in weights.items()], "term string, mult double"
+    )
+    idf = F.log(
+        (F.lit(float(num_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per_doc = (
+        matches.join(cand, "doc_id")
+        .join(F.broadcast(wdf), "term")
+        .join(F.broadcast(term_stats.filter(F.col("term").isin(list(weights)))), "term")
+        .join(docs.select("doc_id", "doc_len"), "doc_id")
+        .withColumn(
+            "_s",
+            F.col("mult")
+            * idf
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("doc_len") / F.lit(float(avg_dl)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_s").alias("bm25"))
+    )
+    return per_doc.join(docs, "doc_id").withColumn("score", F.col("bm25"))
+
+
+RESULT_COLS = ["doc_id", "url", "title", "score", "pagerank", "numviews"]
+
+
+def run_query(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    ranker: str = "comprehensive",
+    k: int = 10,
+) -> DataFrame:
+    """End-to-end /search: returns top-k (doc_id, url, title, score, pr, nv).
+
+    Results ordered by (score desc, doc_id asc) — the pinned tie-break.
+    """
+    store = IndexStorage(index_root)
+    token_words = analyze_tokens(parse_query(query))
+    docs = store.read_table(spark, "docs")
+    if not token_words:
+        return docs.limit(0).withColumn("score", F.lit(0.0)).select(*RESULT_COLS)
+
+    stats = store.read_table(spark, "stats").collect()[0]
+    total_tf, num_docs = stats["total_tf"], stats["num_docs"]
+    term_stats = store.read_table(spark, "term_stats")
+    distinct_terms = sorted({w for ws in token_words for w in ws})
+    need_pos = any(len(ws) > 1 for ws in token_words)
+
+    matches = load_postings_for_terms(spark, store, distinct_terms, want_positions=need_pos)
+    matches = matches.persist()
+    cand = conjunctive_candidates(matches, token_words, with_positions=need_pos)
+    matches_tf = matches.select("doc_id", "term", "tf")
+
+    if ranker == "comprehensive":
+        scored = score_comprehensive(cand, matches_tf, docs, term_stats, token_words, total_tf)
+    elif ranker == "favorite":
+        scored = score_favorite(cand, matches_tf, docs, term_stats, token_words, total_tf)
+    elif ranker == "conjunctive":
+        scored = score_conjunctive(cand, matches_tf, docs)
+    elif ranker == "bm25":
+        avg_dl = total_tf / max(1, num_docs)
+        scored = score_bm25(
+            cand, matches_tf, docs, term_stats, token_words, total_tf, num_docs, avg_dl
+        )
+    else:
+        raise ValueError(f"unknown ranker: {ranker}")
+
+    out = (
+        scored.select(*RESULT_COLS)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    return out

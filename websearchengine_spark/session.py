@@ -1,0 +1,75 @@
+"""SparkSession factory with the engine's standard local-mode config.
+
+Also ships the package to executors (``addPyFile`` of a zip — the
+programmatic equivalent of ``spark-submit --py-files``), so UDFs that
+close over package functions resolve on workers regardless of the
+driver's cwd/sys.path.  ``make_pyfiles_zip`` is reused by bench/ for the
+real ``spark-submit --py-files`` invocation.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def make_pyfiles_zip(out_path: str | None = None) -> str:
+    """Zip the websearchengine_spark package for --py-files shipping."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if out_path is None:
+        out_path = os.path.join(tempfile.gettempdir(), "websearchengine_spark.zip")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        "websearchengine_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    return out_path
+
+
+def get_spark(
+    app_name: str = "websearchengine_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores``: int N -> ``local[N]``; "*" or None -> ``local[*]``.
+    Shuffle partitions default to the core count (local mode; the 200
+    default over-parallelizes small data and under-parallelizes big).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    n_cores = os.cpu_count() if cores in ("*", None) else int(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, n_cores)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.addPyFile(make_pyfiles_zip())
+    except Exception:
+        pass  # already added in this context
+    return spark

@@ -1,38 +1,1111 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship: map sf0.001 ``documents`` to the pages
+shape, build the full inverted index (doc-sharded varbyte blocks) and
+run a conjunctive BM25 query through the block-max WAND kernel.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md §2 plus the training-data-pipeline operators
+(dedup, similarity search, text analysis).  Every aggregate/computed
+column is aliased identically on both sides; floats are rounded on both
+sides so value-hashes compare stably.
+
+All Spark implementations here are pure ``pyspark.sql`` column
+expressions (no Python UDFs), so they run under the driver's own
+SparkSession with no package shipping concerns; the UDF-based engine
+paths (index build + WAND) are exercised by ``entry`` and the
+``bm25_index_path`` query, which ship the package zip explicitly.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+QUERY_TERMS = ["data", "stream", "join"]  # present in the documents vocab
+QL_TERMS = ["data", "stream"]
+PHRASE = "data stream"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tok_expr():
+    """Filtered lowercase whitespace tokens (matches the SQL oracle)."""
+    return F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+
+
+def _toks(spark, sf_dir) -> DataFrame:
+    """(doc_id, term) one row per occurrence."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_tok_expr()).alias("term")
+    )
+
+
+_TOKS_CTE = (
+    "WITH toks AS (SELECT doc_id, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS term "
+    "FROM documents)"
+)
+
+
+# --------------------------------------------------------------------------
+# Search-engine core over the pre-tokenized documents table
+# --------------------------------------------------------------------------
+
+def q_term_df(spark, sf_dir):
+    """A3: corpus document frequency, top 100 (df desc, term asc)."""
+    return (
+        _toks(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+SQL_TERM_DF = (
+    _TOKS_CTE
+    + " SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term"
+    " ORDER BY df DESC, term LIMIT 100"
+)
+
+
+def q_term_ctf(spark, sf_dir):
+    """A4: corpus term frequency, top 100 (ctf desc, term asc)."""
+    return (
+        _toks(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("ctf"))
+        .orderBy(F.desc("ctf"), F.asc("term"))
+        .limit(100)
+    )
+
+
+SQL_TERM_CTF = (
+    _TOKS_CTE
+    + " SELECT term, count(*) AS ctf FROM toks GROUP BY term"
+    " ORDER BY ctf DESC, term LIMIT 100"
+)
+
+
+def q_doc_len(spark, sf_dir):
+    """A2: per-doc kept-token count."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(_tok_expr()).cast("long").alias("doc_len")
+    )
+
+
+SQL_DOC_LEN = (
+    "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text),"
+    " '\\s+'), t -> t <> '')) AS BIGINT) AS doc_len FROM documents"
+)
+
+
+def q_corpus_stats(spark, sf_dir):
+    """A5 + stats table: num_docs, total_tf, avg_dl."""
+    return q_doc_len(spark, sf_dir).agg(
+        F.count("*").alias("num_docs"),
+        F.sum("doc_len").alias("total_tf"),
+        F.round(F.avg("doc_len"), 6).alias("avg_dl"),
+    )
+
+
+SQL_CORPUS_STATS = (
+    "WITH dl AS (" + SQL_DOC_LEN + ") SELECT count(*) AS num_docs,"
+    " sum(doc_len) AS total_tf, round(avg(doc_len), 6) AS avg_dl FROM dl"
+)
+
+
+def _conjunctive(spark, sf_dir, terms) -> DataFrame:
+    """J1: docs containing ALL terms -> (doc_id)."""
+    t = _toks(spark, sf_dir).filter(F.col("term").isin(terms))
+    return (
+        t.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("doc_id")
+    )
+
+
+def _sql_conjunctive(terms) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return (
+        f"SELECT doc_id FROM toks WHERE term IN ({tl}) "
+        f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)}"
+    )
+
+
+def q_conjunctive_count(spark, sf_dir):
+    return _conjunctive(spark, sf_dir, QUERY_TERMS).agg(
+        F.count("*").alias("n_docs_all_terms")
+    )
+
+
+SQL_CONJUNCTIVE_COUNT = (
+    _TOKS_CTE
+    + f", cand AS ({_sql_conjunctive(QUERY_TERMS)})"
+    + " SELECT count(*) AS n_docs_all_terms FROM cand"
+)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """R-BM25 over conjunctive candidates, k1=1.2 b=0.75, top 20."""
+    toks = _toks(spark, sf_dir).filter(F.col("term").isin(QUERY_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = q_doc_len(spark, sf_dir)
+    stats = q_corpus_stats(spark, sf_dir).collect()[0]
+    n, avg_dl = stats["num_docs"], stats["total_tf"] / stats["num_docs"]
+    dfs = (
+        _toks(spark, sf_dir)
+        .filter(F.col("term").isin(QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    cand = _conjunctive(spark, sf_dir, QUERY_TERMS)
+    idf = F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        tf.join(cand, "doc_id")
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "_s",
+            idf
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doc_len") / F.lit(avg_dl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+SQL_BM25_TOPK = (
+    _TOKS_CTE
+    + f""",
+ dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+ st AS (SELECT count(*) AS n, avg(doc_len) AS avg_dl FROM dl),
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('data','stream','join') GROUP BY doc_id, term),
+ dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         WHERE term IN ('data','stream','join') GROUP BY term),
+ cand AS ({_sql_conjunctive(QUERY_TERMS)})
+ SELECT tf.doc_id,
+        round(sum(ln((st.n - dfs.df + 0.5)/(dfs.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2*(0.25 + 0.75*dl.doc_len/st.avg_dl))), 6) AS score
+ FROM tf JOIN cand ON tf.doc_id = cand.doc_id
+      JOIN dfs ON tf.term = dfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN st
+ GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20"""
+)
+
+
+def q_ql_topk(spark, sf_dir):
+    """R1-style: 1.4*QL_JM(0.5) + 0.3*log(nv+1), nv := doc_id % 100."""
+    toks = _toks(spark, sf_dir).filter(F.col("term").isin(QL_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = q_doc_len(spark, sf_dir)
+    stats = q_corpus_stats(spark, sf_dir).collect()[0]
+    total_tf = float(stats["total_tf"])
+    ctfs = (
+        _toks(spark, sf_dir)
+        .filter(F.col("term").isin(QL_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("ctf"))
+    )
+    cand = _conjunctive(spark, sf_dir, QL_TERMS)
+    scored = (
+        tf.join(cand, "doc_id")
+        .join(F.broadcast(ctfs), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "_lp",
+            F.log(0.5 * F.col("tf") / F.col("doc_len") + 0.5 * F.col("ctf") / F.lit(total_tf)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_lp").alias("ql"))
+        .withColumn(
+            "score",
+            F.round(
+                1.4 * F.col("ql")
+                + 0.3 * F.log(F.col("doc_id") % 100 + 1.0),
+                6,
+            ),
+        )
+        .select("doc_id", "score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+SQL_QL_TOPK = (
+    _TOKS_CTE
+    + f""",
+ dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+ st AS (SELECT sum(doc_len) AS total_tf FROM dl),
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('data','stream') GROUP BY doc_id, term),
+ ctfs AS (SELECT term, count(*) AS ctf FROM toks
+          WHERE term IN ('data','stream') GROUP BY term),
+ cand AS ({_sql_conjunctive(QL_TERMS)}),
+ ql AS (SELECT tf.doc_id,
+               sum(ln(0.5*tf.tf/dl.doc_len + 0.5*ctfs.ctf/st.total_tf)) AS ql
+        FROM tf JOIN cand ON tf.doc_id = cand.doc_id
+             JOIN ctfs ON tf.term = ctfs.term
+             JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN st
+        GROUP BY tf.doc_id)
+ SELECT doc_id, round(1.4*ql + 0.3*ln(doc_id % 100 + 1.0), 6) AS score
+ FROM ql ORDER BY score DESC, doc_id LIMIT 20"""
+)
+
+
+def q_phrase_count(spark, sf_dir):
+    """J2 (string form): docs containing the adjacent pair 'data stream'."""
+    norm = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower("text"), r"\s+", " "), F.lit(" ")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(norm.alias("norm"))
+        .filter(F.col("norm").contains(f" {PHRASE} "))
+        .agg(F.count("*").alias("n_docs_phrase"))
+    )
+
+
+SQL_PHRASE_COUNT = (
+    "SELECT count(*) AS n_docs_phrase FROM documents WHERE "
+    "(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ')"
+    f" LIKE '% {PHRASE} %'"
+)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """R5-family tf-idf cosine, idf = ln((N+1)/(df+1))+1, query qtf=1."""
+    toks = _toks(spark, sf_dir)
+    stats = q_corpus_stats(spark, sf_dir).collect()[0]
+    n = float(stats["num_docs"] + 1)
+    tf_all = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfs_all = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(F.lit(n) / (F.col("df") + 1.0)) + 1.0
+    weighted = tf_all.join(dfs_all, "term").withColumn("w", F.col("tf") * idf)
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")
+    )
+    qn = len(QUERY_TERMS) ** 0.5  # query tf=1 each, norm over idf? see SQL
+    dot = (
+        weighted.filter(F.col("term").isin(QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * idf).alias("_x"))
+    )
+    # qnorm uses idf too: sqrt(sum over query terms of idf^2)
+    qnorm = (
+        dfs_all.filter(F.col("term").isin(QUERY_TERMS))
+        .agg(F.sqrt(F.sum(idf * idf)).alias("qn"))
+        .collect()[0]["qn"]
+    )
+    del qn
+    return (
+        dot.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("_x") / (F.col("dnorm") * F.lit(float(qnorm))), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_COSINE_TOPK = (
+    _TOKS_CTE
+    + """,
+ st AS (SELECT count(DISTINCT doc_id) + 1 AS n FROM toks),
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+ dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+ wt AS (SELECT tf.doc_id, tf.term, tf.tf * (ln(st.n/(dfs.df+1.0))+1) AS w,
+               (ln(st.n/(dfs.df+1.0))+1) AS idf
+        FROM tf JOIN dfs USING (term) CROSS JOIN st),
+ norms AS (SELECT doc_id, sqrt(sum(w*w)) AS dnorm FROM wt GROUP BY doc_id),
+ qnorm AS (SELECT sqrt(sum(idf*idf)) AS qn FROM
+           (SELECT DISTINCT term, idf FROM wt
+            WHERE term IN ('data','stream','join'))),
+ dot AS (SELECT doc_id, sum(w * idf) AS x FROM wt
+         WHERE term IN ('data','stream','join') GROUP BY doc_id)
+ SELECT dot.doc_id, round(dot.x/(norms.dnorm*qnorm.qn), 6) AS cosine
+ FROM dot JOIN norms USING (doc_id) CROSS JOIN qnorm
+ ORDER BY cosine DESC, doc_id LIMIT 20"""
+)
+
+
+def q_pagerank(spark, sf_dir):
+    """G2 on a synthetic deterministic graph: dst = (doc_id*7+j) % N,
+    j in 1..5; 2 Jacobi iterations, lambda = 0.9, no dangling mass."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("j"),
+        )
+        .withColumn("dst", (F.col("src") * 7 + F.col("j")) % n)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    ).persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    topo = edges.join(outdeg, "src")
+    ranks = docs.select(F.col("doc_id").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(2):
+        contrib = (
+            topo.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("inb"))
+        )
+        ranks = docs.select(F.col("doc_id").alias("node")).join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (0.9 * F.coalesce("inb", F.lit(0.0)) + 0.1).alias("rank"),
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
+    )
+
+
+SQL_PAGERANK = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+ edges AS (SELECT DISTINCT d.doc_id AS src, (d.doc_id*7 + g.j) % n.n AS dst
+           FROM documents d CROSS JOIN n CROSS JOIN generate_series(1,5) g(j)
+           WHERE (d.doc_id*7 + g.j) % n.n <> d.doc_id),
+ outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+ r0 AS (SELECT doc_id AS node, 1.0 AS rank FROM documents),
+ c1 AS (SELECT e.dst AS node, sum(r0.rank/o.od) AS inb
+        FROM edges e JOIN r0 ON r0.node = e.src JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst),
+ r1 AS (SELECT r0.node, 0.9*coalesce(c1.inb, 0) + 0.1 AS rank
+        FROM r0 LEFT JOIN c1 USING (node)),
+ c2 AS (SELECT e.dst AS node, sum(r1.rank/o.od) AS inb
+        FROM edges e JOIN r1 ON r1.node = e.src JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst),
+ r2 AS (SELECT r1.node, 0.9*coalesce(c2.inb, 0) + 0.1 AS rank
+        FROM r1 LEFT JOIN c2 USING (node))
+SELECT node AS doc_id, round(rank, 9) AS pagerank FROM r2"""
+
+
+def q_spearman(spark, sf_dir):
+    """G4: rho between ranking by n_chars and by token count."""
+    dl = q_doc_len(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars").join(dl, "doc_id")
+    rx = F.row_number().over(W.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    ry = F.row_number().over(W.orderBy(F.desc("doc_len"), F.asc("doc_id")))
+    ranked = d.select(rx.alias("rx"), ry.alias("ry"))
+    n = d.count()
+    z = (n + 1) / 2.0
+    return ranked.agg(
+        F.round(
+            F.sum((F.col("rx") - z) * (F.col("ry") - z))
+            / F.sqrt(
+                F.sum(F.pow(F.col("rx") - z, 2)) * F.sum(F.pow(F.col("ry") - z, 2))
+            ),
+            9,
+        ).alias("spearman_rho")
+    )
+
+
+SQL_SPEARMAN = (
+    "WITH dl AS (" + SQL_DOC_LEN + "),"
+    """
+ r AS (SELECT row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS rx,
+              row_number() OVER (ORDER BY dl.doc_len DESC, d.doc_id) AS ry
+       FROM documents d JOIN dl ON d.doc_id = dl.doc_id),
+ z AS (SELECT (count(*) + 1)/2.0 AS z FROM r)
+SELECT round(sum((rx - z.z)*(ry - z.z))
+       / sqrt(sum((rx - z.z)*(rx - z.z)) * sum((ry - z.z)*(ry - z.z))), 9)
+       AS spearman_rho
+FROM r CROSS JOIN z"""
+)
+
+
+# --------------------------------------------------------------------------
+# Deduplication / fingerprinting
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(text) groups (hash, n, min doc)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_dups") >= 1)
+    )
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS"
+    " min_doc_id FROM documents GROUP BY md5(text) HAVING count(*) >= 1"
+)
+
+_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+
+def _spark_norm():
+    return F.regexp_replace(F.lower("text"), r"\s+", " ")
+
+
+def _shingles_spark(spark, sf_dir):
+    """(doc_id, shingle): char-8-grams of normalized text."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", _spark_norm().alias("norm"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("norm") - 7, F.lit(1)))
+            ).alias("i"),
+            "norm",
+        )
+        .select("doc_id", F.expr("substring(norm, i, 8)").alias("shingle"))
+    )
+
+
+_SQL_SHINGLES = (
+    "sh AS (SELECT doc_id, substr(norm, i, 8) AS shingle FROM "
+    "(SELECT doc_id, norm, unnest(generate_series(1, greatest(length(norm) - 7,"
+    f" 1))) AS i FROM (SELECT doc_id, {_NORM} AS norm FROM documents)))"
+)
+
+
+def _hex32(col):
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 8), 16, 10).cast("long")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash (4 hashes) over char-8-gram shingles -> (doc_id, mh0..mh3)."""
+    sh = _shingles_spark(spark, sf_dir)
+    aggs = [
+        F.min(_hex32(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"mh{h}")
+        for h in range(4)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+SQL_MINHASH = (
+    "WITH " + _SQL_SHINGLES + " SELECT doc_id, "
+    + ", ".join(
+        f"min(CAST(('0x' || substr(md5('{h}|' || shingle), 1, 8)) AS BIGINT)) AS mh{h}"
+        for h in range(4)
+    )
+    + " FROM sh GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash-16: sign bits of tf-weighted pseudo-random term vectors."""
+    tf = _toks(spark, sf_dir).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    bits = tf.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+    ).withColumn(
+        "contrib",
+        F.col("tf")
+        * F.when(
+            F.substring(F.md5(F.encode("term", "UTF-8")), F.col("b") + 1, 1).isin(
+                "1", "3", "5", "7", "9", "b", "d", "f"
+            ),
+            1,
+        ).otherwise(-1),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b"))).otherwise(0.0))
+        .groupBy("doc_id")
+        .agg(F.sum("bit").cast("long").alias("simhash16"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_SIMHASH = (
+    _TOKS_CTE
+    + """,
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+ bits AS (SELECT doc_id, g.b,
+                 sum(tf * CASE WHEN substr(md5(term), g.b + 1, 1) IN
+                     ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s
+          FROM tf CROSS JOIN generate_series(0, 15) g(b)
+          GROUP BY doc_id, g.b)
+ SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END) AS BIGINT)
+        AS simhash16
+ FROM bits GROUP BY doc_id ORDER BY doc_id"""
+)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup: token-set Jaccard for consecutive same-source doc pairs."""
+    d = _toks(spark, sf_dir).distinct()
+    sizes = d.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    pairs = (
+        src.alias("a")
+        .join(
+            src.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.doc_id") == F.col("a.doc_id") + 20),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    da_terms = d.withColumnRenamed("doc_id", "da")
+    db_terms = d.withColumnRenamed("doc_id", "db")
+    inter = (
+        pairs.join(da_terms, "da")
+        .join(db_terms, ["db", "term"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "sb"), "db")
+        .select(
+            "da",
+            "db",
+            F.round(F.col("c") / (F.col("sa") + F.col("sb") - F.col("c")), 6).alias("jaccard"),
+        )
+        .orderBy("da")
+    )
+
+
+SQL_NGRAM_JACCARD = (
+    _TOKS_CTE
+    + """,
+ d AS (SELECT DISTINCT doc_id, term FROM toks),
+ sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+ pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+           FROM documents a JOIN documents b
+           ON a.source = b.source AND b.doc_id = a.doc_id + 20),
+ inter AS (SELECT p.da, p.db, count(*) AS c
+           FROM pairs p JOIN d x ON x.doc_id = p.da
+                JOIN d y ON y.doc_id = p.db AND y.term = x.term
+           GROUP BY p.da, p.db)
+ SELECT i.da, i.db, round(i.c / (sa.sz + sb.sz - i.c), 6) AS jaccard
+ FROM inter i JOIN sizes sa ON sa.doc_id = i.da
+      JOIN sizes sb ON sb.doc_id = i.db
+ ORDER BY da"""
+)
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash-style doc fingerprint: min shingle hash per doc."""
+    sh = _shingles_spark(spark, sf_dir)
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.min(_hex32(F.col("shingle"))).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_FINGERPRINT = (
+    "WITH " + _SQL_SHINGLES + " SELECT doc_id, "
+    "min(CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)) AS fingerprint"
+    " FROM sh GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+EN_STOP = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def q_lang_id(spark, sf_dir):
+    """n-gram/stopword-ratio language heuristic."""
+    toks = _toks(spark, sf_dir)
+    agg = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("term").isin(EN_STOP), 1).otherwise(0)).alias("hits"),
+    )
+    return agg.select(
+        "doc_id",
+        F.round(F.col("hits") / F.col("n"), 6).alias("en_ratio"),
+        F.when(F.col("hits") / F.col("n") > 0.02, "en").otherwise("other").alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+SQL_LANG_ID = (
+    _TOKS_CTE
+    + """
+ SELECT doc_id, round(sum(CASE WHEN term IN ('the','a','of','and','to','in','is')
+        THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS en_ratio,
+        CASE WHEN sum(CASE WHEN term IN ('the','a','of','and','to','in','is')
+        THEN 1 ELSE 0 END) * 1.0 / count(*) > 0.02 THEN 'en' ELSE 'other' END
+        AS lang_pred
+ FROM toks GROUP BY doc_id ORDER BY doc_id"""
+)
+
+
+def q_quality(spark, sf_dir):
+    """Quality scoring: token count, type-token ratio, mean token length."""
+    toks = _toks(spark, sf_dir)
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.countDistinct("term") / F.count("*"), 6).alias("ttr"),
+            F.round(F.avg(F.length("term")), 6).alias("mean_tok_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_QUALITY = (
+    _TOKS_CTE
+    + """
+ SELECT doc_id, count(*) AS n_tokens,
+        round(count(DISTINCT term) * 1.0 / count(*), 6) AS ttr,
+        round(avg(length(term)), 6) AS mean_tok_len
+ FROM toks GROUP BY doc_id ORDER BY doc_id"""
+)
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace vs BPE-ish regex token counting."""
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(_tok_expr()).cast("long").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(regexp_replace(lower(text), '\\\\s+', ' '), '{pat}', 0)")).cast("long").alias("bpeish_tokens"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNTS = (
+    "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text),"
+    " '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,"
+    " CAST(len(regexp_extract_all(regexp_replace(lower(text), '\\s+', ' ', 'g'),"
+    " '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens"
+    " FROM documents ORDER BY doc_id"
+)
+
+
+def q_mm_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: treat text bytes as an opaque binary payload;
+    typed metadata extraction (size + head-byte checksum)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.ascii(F.substring(F.col("text"), i, F.lit(1))),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("long").alias("head8_sum"),
+    ).orderBy("doc_id")
+
+
+SQL_MM_BINARY_META = """
+SELECT doc_id, min(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS n_bytes,
+       CAST(sum(ascii(substr(text, g.i, 1))) AS BIGINT) AS head8_sum
+FROM documents CROSS JOIN generate_series(1, 8) g(i)
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-20 vs the vec_id=0 query vector."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    ).collect()[0]["qv"]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                dot / (norm(F.col("embedding").cast("array<double>")) * norm(qlit)),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding, q.qv)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 20"""
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """LSH bucketing: 8 deterministic hyperplanes -> bucket histogram."""
+    emb = _emb(spark, sf_dir)
+    rows = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p"),
+        "embedding",
+    )
+    planes = rows.select(
+        "vec_id",
+        "p",
+        F.explode(F.sequence(F.lit(1), F.size("embedding"))).alias("i"),
+        F.element_at(F.col("embedding").cast("array<double>"), F.col("i")).alias("v"),
+    ).withColumn(
+        "w",
+        ((F.col("i") * (F.col("p") + 3) * 2654435761) % 1000) / 1000.0 - 0.5,
+    )
+    dots = planes.groupBy("vec_id", "p").agg(F.sum(F.col("v") * F.col("w")).alias("d"))
+    buckets = (
+        dots.withColumn("bit", F.when(F.col("d") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(0.0))
+        .groupBy("vec_id")
+        .agg(F.sum("bit").cast("long").alias("bucket"))
+    )
+    return buckets.groupBy("bucket").agg(F.count("*").alias("n_vecs")).orderBy("bucket")
+
+
+SQL_LSH_BUCKETS = """
+WITH planes AS (
+  SELECT e.vec_id, g.p, i.i, e.embedding[i.i] AS v,
+         ((i.i * (g.p + 3) * 2654435761) % 1000) / 1000.0 - 0.5 AS w
+  FROM embeddings e
+  CROSS JOIN generate_series(0, 7) g(p)
+  CROSS JOIN generate_series(1, 64) i(i)),
+ dots AS (SELECT vec_id, p, sum(v * w) AS d FROM planes GROUP BY vec_id, p),
+ buckets AS (SELECT vec_id,
+             CAST(sum(CASE WHEN d > 0 THEN power(2, p) ELSE 0 END) AS BIGINT)
+             AS bucket FROM dots GROUP BY vec_id)
+SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket"""
+
+
+# --------------------------------------------------------------------------
+# Relational breadth (Catalyst-native: joins/aggs/windows)
+# --------------------------------------------------------------------------
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_q3ish(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3ISH = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+
+def q_top_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("best_price"))
+        .orderBy("o_custkey")
+    )
+
+
+SQL_TOP_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+WHERE rn = 1 ORDER BY o_custkey"""
+
+
+def q_supplier_nation_rollup(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_SUPPLIER_NATION = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+     JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name"""
+
+
+def q_events_agg(spark, sf_dir):
+    """S4/A6-style log aggregation over the events stream table."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_AGG = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+def q_events_hourly(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap, per-user session count."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id"""
+
+
+# --------------------------------------------------------------------------
+# Full engine path (index build + block-max WAND) — SQL-oracled because the
+# whitespace analyzer makes the token stream SQL-reproducible
+# --------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for(spark, sf_dir: str) -> str:
+    import tempfile
+
+    root = _INDEX_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "_manifest.json")):
+        return root
+    from websearchengine_spark.operators.build import build_index
+    from websearchengine_spark.session import make_pyfiles_zip
+
+    try:
+        spark.sparkContext.addPyFile(make_pyfiles_zip())
+    except Exception:
+        pass
+    root = tempfile.mkdtemp(prefix="wse_entry_idx_")
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    build_index(
+        spark, pages, root, n_shards=8, n_groups=2, analyzer="whitespace",
+        keep_doc_terms=False,
+    )
+    _INDEX_CACHE[sf_dir] = root
+    return root
+
+
+def q_bm25_index_path(spark, sf_dir):
+    """The REAL engine: build (varbyte blocks, doc-sharded) + WAND top-20.
+
+    doc_id assignment is rank-of-url = the original doc_id (urls are
+    zero-padded), so results align with the SQL oracle over documents.
+    """
+    from websearchengine_spark.operators.topk import wand_topk
+
+    root = _index_for(spark, sf_dir)
+    out = wand_topk(spark, root, " ".join(QUERY_TERMS), k=20)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+SQL_BM25_INDEX_PATH = SQL_BM25_TOPK  # identical semantics by construction
+
+
+# --------------------------------------------------------------------------
+# Contract functions
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: full build + conjunctive BM25 WAND top-10."""
+    sf_dir = "/root/testdata/sf0.001"
+    from websearchengine_spark.operators.topk import wand_topk
+
+    root = _index_for(spark, sf_dir)
+    return wand_topk(spark, root, "data stream", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_df_top100": q_term_df,
+        "term_ctf_top100": q_term_ctf,
+        "doc_len": q_doc_len,
+        "corpus_stats": q_corpus_stats,
+        "conjunctive_count": q_conjunctive_count,
+        "bm25_top20": q_bm25_topk,
+        "ql_signals_top20": q_ql_topk,
+        "phrase_count": q_phrase_count,
+        "cosine_tfidf_top20": q_cosine_topk,
+        "pagerank_2iter": q_pagerank,
+        "spearman_rank_corr": q_spearman,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash16": q_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "doc_fingerprint": q_fingerprint,
+        "lang_id_heuristic": q_lang_id,
+        "quality_scores": q_quality,
+        "token_counts": q_token_counts,
+        "mm_binary_meta": q_mm_binary_meta,
+        "ann_cosine_top20": q_ann_cosine,
+        "lsh_buckets": q_lsh_buckets,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+        "top_order_per_customer": q_top_order_per_customer,
+        "supplier_nation_rollup": q_supplier_nation_rollup,
+        "events_agg": q_events_agg,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "bm25_index_path": q_bm25_index_path,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_df_top100": SQL_TERM_DF,
+        "term_ctf_top100": SQL_TERM_CTF,
+        "doc_len": SQL_DOC_LEN,
+        "corpus_stats": SQL_CORPUS_STATS,
+        "conjunctive_count": SQL_CONJUNCTIVE_COUNT,
+        "bm25_top20": SQL_BM25_TOPK,
+        "ql_signals_top20": SQL_QL_TOPK,
+        "phrase_count": SQL_PHRASE_COUNT,
+        "cosine_tfidf_top20": SQL_COSINE_TOPK,
+        "pagerank_2iter": SQL_PAGERANK,
+        "spearman_rank_corr": SQL_SPEARMAN,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "minhash_signatures": SQL_MINHASH,
+        "simhash16": SQL_SIMHASH,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "lang_id_heuristic": SQL_LANG_ID,
+        "quality_scores": SQL_QUALITY,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "mm_binary_meta": SQL_MM_BINARY_META,
+        "ann_cosine_top20": SQL_ANN_COSINE,
+        "lsh_buckets": SQL_LSH_BUCKETS,
+        "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q3ish": SQL_TPCH_Q3ISH,
+        "top_order_per_customer": SQL_TOP_ORDER_PER_CUSTOMER,
+        "supplier_nation_rollup": SQL_SUPPLIER_NATION,
+        "events_agg": SQL_EVENTS_AGG,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "bm25_index_path": SQL_BM25_INDEX_PATH,
+    }

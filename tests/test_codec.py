@@ -59,35 +59,50 @@ def posting_list(draw):
     gaps = draw(st.lists(st.integers(1, 10**6), min_size=m, max_size=m))
     doc_ids = np.cumsum(np.array(gaps, dtype=np.int64))
     tfs = np.array(draw(st.lists(st.integers(1, 8), min_size=m, max_size=m)), dtype=np.int64)
+    dls = tfs + np.array(
+        draw(st.lists(st.integers(0, 500), min_size=m, max_size=m)), dtype=np.int64
+    )
     positions = []
     for tf in tfs:
         pgaps = draw(st.lists(st.integers(1, 50), min_size=int(tf), max_size=int(tf)))
         positions.extend(np.cumsum(pgaps) - 1)
-    return doc_ids, tfs, np.array(positions, dtype=np.int64)
+    return doc_ids, tfs, dls, np.array(positions, dtype=np.int64)
 
 
 @given(posting_list())
 @settings(max_examples=50, deadline=None)
 def test_posting_blocks_roundtrip(pl):
-    doc_ids, tfs, positions = pl
-    blocks = encode_posting_blocks(doc_ids, tfs, positions, block_size=64)
-    d, t, p = decode_posting_blocks(blocks)
+    from websearchengine_spark.functions.codec import bm25_impact
+
+    doc_ids, tfs, dls, positions = pl
+    avg_dl = float(dls.mean())
+    blocks = encode_posting_blocks(doc_ids, tfs, dls, positions, avg_dl, block_size=64)
+    d, t, dl, p = decode_posting_blocks(blocks, want_doclens=True)
     assert d.tolist() == doc_ids.tolist()
     assert t.tolist() == tfs.tolist()
+    assert dl.tolist() == dls.tolist()
     assert p.tolist() == positions.tolist()
     # block metadata is correct
     assert blocks[0][0] == doc_ids[0]
     assert blocks[-1][1] == doc_ids[-1]
     assert sum(b[2] for b in blocks) == len(doc_ids)
     assert max(b[3] for b in blocks) == tfs.max()
+    # max_impact is a true upper bound per block
+    impacts = bm25_impact(tfs.astype(float), dls.astype(float), avg_dl)
+    off = 0
+    for b in blocks:
+        assert b[4] >= impacts[off : off + b[2]].max() - 1e-12
+        off += b[2]
 
 
 def test_posting_blocks_skip_decode_positions():
     doc_ids = np.array([3, 10, 11])
     tfs = np.array([2, 1, 3])
+    dls = np.array([7, 3, 9])
     positions = np.array([0, 5, 2, 1, 4, 9])
-    blocks = encode_posting_blocks(doc_ids, tfs, positions)
-    d, t, p = decode_posting_blocks(blocks, want_positions=False)
+    blocks = encode_posting_blocks(doc_ids, tfs, dls, positions, avg_dl=6.0)
+    d, t, dl, p = decode_posting_blocks(blocks, want_positions=False)
     assert p is None
+    assert dl is None
     assert d.tolist() == [3, 10, 11]
     assert t.tolist() == [2, 1, 3]

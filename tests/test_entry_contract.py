@@ -1,0 +1,108 @@
+"""Driver-contract validation: run every queries() entry on Spark and its
+oracle_sql() on DuckDB over the same parquet (sf0.001), compare row
+counts, column names, and order-insensitive values — mimicking the
+driver's CORRECTNESS check so mismatches surface before the real gate."""
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str):
+    """Returns (columns, rows); connection stays alive until fetch ends."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    rows = rel.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _normalize(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in sorted(cols):
+            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+def _entry_module():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+
+    importlib.reload(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def contract():
+    m = _entry_module()
+    return m.queries(), m.oracle_sql()
+
+
+def _compare(spark, fn, sql, name):
+    sdf = fn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = sdf.collect()
+    dcols, drows = _duck(sql)
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+    got = _normalize([tuple(r[c] for c in dcols) for r in srows], dcols)
+    want = _normalize(drows, dcols)
+    for i, (g, w) in enumerate(zip(got, want)):
+        for a, b in zip(g, w):
+            if isinstance(a, float) and isinstance(b, float):
+                assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-6), (name, i, g, w)
+            else:
+                assert str(a) == str(b), (name, i, g, w)
+
+
+ALL_NAMES = None
+
+
+def _names():
+    m = _entry_module()
+    return sorted(set(m.queries()) & set(m.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, contract, name):
+    qs, os_ = contract
+    _compare(spark, qs[name], os_[name], name)
+
+
+def test_every_query_has_oracle(contract):
+    qs, os_ = contract
+    assert set(os_) <= set(qs)
+    # every query in this round is SQL-expressible and oracled
+    assert set(qs) == set(os_)
+
+
+def test_entry_smoke(spark):
+    m = _entry_module()
+    df = m.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "doc_id" in df.columns and "score" in df.columns
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

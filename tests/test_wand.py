@@ -1,0 +1,106 @@
+"""Block-max WAND kernel tests: rank identity vs oracle AND vs the
+exhaustive DataFrame path (SURVEY.md §7.4: every WAND test also runs the
+exhaustive path), plus direct kernel tests proving block skipping."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_QUERIES
+from websearchengine_spark.functions.codec import encode_posting_blocks
+from websearchengine_spark.operators.query import run_query
+from websearchengine_spark.operators.topk import shard_bm25_topk, wand_topk
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES)
+def test_wand_matches_oracle_and_dataframe_path(spark, built_index, oracle_index, query):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(spark, built_index, query, k=10).collect()
+    ]
+    want = oracle_index.bm25(query, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+    df_path = [
+        (r["doc_id"], r["score"])
+        for r in run_query(spark, built_index, query, ranker="bm25", k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in df_path]
+
+
+def test_wand_phrase_falls_back(spark, built_index, oracle_index):
+    q = '"data mining"'
+    got = [(r["doc_id"], r["score"]) for r in wand_topk(spark, built_index, q).collect()]
+    # oracle.bm25 applies phrase adjacency through candidates()
+    want = oracle_index.bm25(q, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_wand_unknown_term_empty(spark, built_index):
+    assert wand_topk(spark, built_index, "zzzznope").count() == 0
+    assert wand_topk(spark, built_index, "").count() == 0
+
+
+def _mk_lists(avg_dl=10.0):
+    """Two synthetic terms: rare (3 docs) and common (many blocks)."""
+    rare_docs = np.array([5, 500, 900], dtype=np.int64)
+    rare = encode_posting_blocks(
+        rare_docs,
+        np.array([2, 1, 3]),
+        np.array([10, 12, 8]),
+        np.array([0, 1, 4, 2, 3, 7]),
+        avg_dl,
+        block_size=2,
+    )
+    common_docs = np.arange(0, 1000, 2, dtype=np.int64)  # 500 docs, evens
+    tfs = np.ones(500, dtype=np.int64)
+    # doc_len must be CONSISTENT per doc across terms (it is in real data)
+    dls = np.full(500, 10, dtype=np.int64)
+    dls[common_docs == 500] = 12
+    dls[common_docs == 900] = 8
+    pos = np.arange(500, dtype=np.int64)
+    common = encode_posting_blocks(common_docs, tfs, dls, pos, avg_dl, block_size=16)
+    return {"rare": rare, "common": common}
+
+
+def test_kernel_block_skipping():
+    tl = _mk_lists()
+    qw = {"rare": 1.0, "common": 1.0}
+    idf = {"rare": 3.0, "common": 0.5}
+    d, s, stats = shard_bm25_topk(tl, qw, idf, avg_dl=10.0, k=10)
+    # conjunctive: docs 500 and 900 are even (in common), 5 is odd (not)
+    assert d.tolist() == [900, 500]  # 900 has tf=3 for rare -> higher score
+    assert s[0] > s[1]
+    # the common term has ceil(500/16)=32 blocks; only the ones containing
+    # candidates {5,500,900} may be decoded (2 blocks)
+    assert stats["blocks_total"] == 2 + 32
+    assert stats["blocks_decoded"] <= 2 + 3
+    assert stats["blocks_decoded"] < stats["blocks_total"]
+
+
+def test_kernel_missing_term_means_empty():
+    tl = _mk_lists()
+    qw = {"rare": 1.0, "common": 1.0, "absent": 1.0}
+    d, s, stats = shard_bm25_topk(tl, qw, {"rare": 1, "common": 1, "absent": 1}, 10.0, 10)
+    assert d.size == 0
+
+
+def test_kernel_threshold_pruning_never_changes_topk():
+    tl = _mk_lists()
+    qw = {"rare": 1.0, "common": 1.0}
+    idf = {"rare": 3.0, "common": 0.5}
+    d0, s0, _ = shard_bm25_topk(tl, qw, idf, 10.0, k=1)
+    # threshold just below the best score must still return the best doc
+    d1, s1, st = shard_bm25_topk(tl, qw, idf, 10.0, k=1, threshold=s0[0] - 1e-9)
+    assert d1.tolist() == d0.tolist()[:1]
+    assert st["pruned_by_ub"] >= 1  # the weaker candidate was UB-pruned
+
+
+def test_kernel_tie_break_doc_id_asc():
+    avg_dl = 10.0
+    docs = np.array([3, 7, 11], dtype=np.int64)
+    same = encode_posting_blocks(
+        docs, np.ones(3, dtype=np.int64), np.full(3, 10), np.arange(3), avg_dl
+    )
+    d, s, _ = shard_bm25_topk({"t": same}, {"t": 1.0}, {"t": 1.0}, avg_dl, k=2)
+    assert d.tolist() == [3, 7]  # equal scores -> lowest doc_ids win

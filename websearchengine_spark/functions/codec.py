@@ -83,57 +83,91 @@ def varbyte_decode(data: bytes | np.ndarray) -> np.ndarray:
     return out
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_impact(tfs: np.ndarray, dls: np.ndarray, avg_dl: float) -> np.ndarray:
+    """Per-posting BM25 term impact (idf excluded): the tf-saturation part
+    (k1+1)*tf / (tf + k1*(1 - b + b*dl/avgdl)).  Monotone in tf, anti-
+    monotone in dl -> its block max is a valid score upper bound once
+    multiplied by the (query-time, global-df) idf."""
+    return ((BM25_K1 + 1.0) * tfs) / (
+        tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avg_dl)
+    )
+
+
 def encode_posting_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
+    doc_lens: np.ndarray,
     positions: np.ndarray,
+    avg_dl: float,
     block_size: int = BLOCK_SIZE,
-) -> list[tuple[int, int, int, int, bytes]]:
-    """Encode one term's posting list into blocks.
+) -> list[tuple[int, int, int, int, float, bytes]]:
+    """Encode one term's posting list into block-max blocks.
 
-    ``doc_ids`` strictly ascending int64 (len m); ``tfs`` int64 (len m);
-    ``positions`` int64 concatenation of each doc's ascending position
-    list (len sum(tfs)).
+    ``doc_ids`` strictly ascending int64 (len m); ``tfs``/``doc_lens``
+    int64 (len m); ``positions`` int64 concatenation of each doc's
+    ascending position list (len sum(tfs)).  ``avg_dl`` is the corpus
+    average doc length (stats.total_tf / stats.num_docs), baked into the
+    per-block ``max_impact`` BM25 upper bound (k1=1.2, b=0.75).
 
-    Returns a list of (first_docid, last_docid, n, max_tf, data) tuples.
+    Returns (first_docid, last_docid, n, max_tf, max_impact, data)
+    tuples; ``data`` is one varbyte stream of [gaps, tfs, dls, posdeltas].
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
     positions = np.asarray(positions, dtype=np.int64)
     m = doc_ids.size
     pos_offsets = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(tfs, out=pos_offsets[1:])
+    impacts = bm25_impact(tfs.astype(np.float64), doc_lens.astype(np.float64), avg_dl)
     blocks = []
     for start in range(0, m, block_size):
         end = min(start + block_size, m)
         d = doc_ids[start:end]
         t = tfs[start:end]
+        dl = doc_lens[start:end]
         p = positions[pos_offsets[start] : pos_offsets[end]]
         gaps = np.diff(d, prepend=d[0])  # gap[0] = 0
         # per-doc position deltas: pos[0] absolute, then diffs
         pdelta = np.diff(p, prepend=np.int64(0))
         starts_of_docs = pos_offsets[start:end] - pos_offsets[start]
         pdelta[starts_of_docs] = p[starts_of_docs]
-        data = varbyte_encode(np.concatenate([gaps, t, pdelta]))
-        blocks.append((int(d[0]), int(d[-1]), int(d.size), int(t.max()), data))
+        data = varbyte_encode(np.concatenate([gaps, t, dl, pdelta]))
+        blocks.append(
+            (
+                int(d[0]),
+                int(d[-1]),
+                int(d.size),
+                int(t.max()),
+                float(impacts[start:end].max()),
+                data,
+            )
+        )
     return blocks
 
 
 def decode_posting_blocks(
-    blocks: list[tuple[int, int, int, int, bytes]] | list,
+    blocks: list[tuple[int, int, int, int, float, bytes]] | list,
     want_positions: bool = True,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
-    """Decode blocks back to (doc_ids, tfs, positions-or-None)."""
-    all_docs, all_tfs, all_pos = [], [], []
-    for first_docid, _last, n, _max_tf, data in blocks:
+    want_doclens: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None, np.ndarray | None]:
+    """Decode blocks back to (doc_ids, tfs, doclens-or-None, positions-or-None)."""
+    all_docs, all_tfs, all_dls, all_pos = [], [], [], []
+    for first_docid, _last, n, _max_tf, _max_imp, data in blocks:
         vals = varbyte_decode(np.frombuffer(data, dtype=np.uint8))
         gaps = vals[:n]
         tfs = vals[n : 2 * n]
         docs = np.cumsum(gaps) + first_docid
         all_docs.append(docs)
         all_tfs.append(tfs)
+        if want_doclens:
+            all_dls.append(vals[2 * n : 3 * n])
         if want_positions:
-            pdelta = vals[2 * n :]
+            pdelta = vals[3 * n :]
             pos = np.cumsum(pdelta)
             # reset the running sum at each doc boundary: pdelta stores
             # pos[0] absolute per doc, so recompute with segmented cumsum
@@ -141,11 +175,13 @@ def decode_posting_blocks(
             np.cumsum(tfs[:-1], out=starts[1:])
             seg_base = np.repeat(pos[starts] - pdelta[starts], tfs)
             all_pos.append(pos - seg_base)
-    doc_ids = np.concatenate(all_docs) if all_docs else np.empty(0, dtype=np.int64)
-    tfs = np.concatenate(all_tfs) if all_tfs else np.empty(0, dtype=np.int64)
-    positions = (
-        (np.concatenate(all_pos) if all_pos else np.empty(0, dtype=np.int64))
-        if want_positions
-        else None
+    empty = np.empty(0, dtype=np.int64)
+    doc_ids = np.concatenate(all_docs) if all_docs else empty
+    tfs = np.concatenate(all_tfs) if all_tfs else empty
+    doclens = (
+        (np.concatenate(all_dls) if all_dls else empty) if want_doclens else None
     )
-    return doc_ids, tfs, positions
+    positions = (
+        (np.concatenate(all_pos) if all_pos else empty) if want_positions else None
+    )
+    return doc_ids, tfs, doclens, positions

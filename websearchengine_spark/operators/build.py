@@ -71,6 +71,7 @@ POSTINGS_SCHEMA = T.StructType(
                         T.StructField("last_docid", T.LongType()),
                         T.StructField("n", T.IntegerType()),
                         T.StructField("max_tf", T.IntegerType()),
+                        T.StructField("max_impact", T.DoubleType()),
                         T.StructField("data", T.BinaryType()),
                     ]
                 )
@@ -80,7 +81,7 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 
-def analyze_pages(pages: DataFrame) -> DataFrame:
+def analyze_pages(pages: DataFrame, analyzer: str = "reference") -> DataFrame:
     """pages -> (url, title, tokens) via one Arrow-batched UDF pass.
 
     Extraction (S2) + analyzer chain (P1-P4) in a single mapInPandas so
@@ -88,6 +89,11 @@ def analyze_pages(pages: DataFrame) -> DataFrame:
     populated (input_hint allows either), it is trusted as the pinned
     extractor's output (byte-identity contract) and only tokenized;
     otherwise the html is extracted here.
+
+    ``analyzer``: "reference" = the full chain (lowercase + Porter step 1
+    + 1..20 length filter); "whitespace" = raw lowercase whitespace
+    tokens (used when an external SQL oracle must reproduce the token
+    stream exactly).
     """
 
     def run(batches):
@@ -103,7 +109,10 @@ def analyze_pages(pages: DataFrame) -> DataFrame:
                     title, _ = extract_text_and_title(html)
                 else:
                     title = ""
-                out_tokens.append(analyze_text(text or ""))
+                if analyzer == "whitespace":
+                    out_tokens.append((text or "").lower().split())
+                else:
+                    out_tokens.append(analyze_text(text or ""))
                 titles.append(title)
             yield pd.DataFrame({"url": urls, "title": titles, "tokens": out_tokens})
 
@@ -149,6 +158,7 @@ def build_index(
     resume: bool = True,
     signals: DataFrame | None = None,
     keep_doc_terms: bool = True,
+    analyzer: str = "reference",
 ) -> IndexStorage:
     """Build the full index at ``index_root``; resumable per shard-group.
 
@@ -169,7 +179,7 @@ def build_index(
     )
     store.write_manifest(manifest)
 
-    analyzed = assign_doc_ids(analyze_pages(pages))
+    analyzed = assign_doc_ids(analyze_pages(pages, analyzer=analyzer))
     analyzed = analyzed.persist()
 
     # ---- docs ----------------------------------------------------------
@@ -211,15 +221,20 @@ def build_index(
         F.sum("doc_len").cast("long").alias("total_tf"),
     )
     store.write_table(stats, "stats")
+    srow = store.read_table(spark, "stats").collect()[0]
+    avg_dl = srow["total_tf"] / max(1, srow["num_docs"])
 
     # ---- postings: doc-sharded, blocked, per-group resumable commits ---
-    sharded = doc_terms.withColumn(
-        "shard", (F.col("doc_id") % F.lit(n_shards)).cast("int")
-    ).withColumn("group", (F.col("shard") % F.lit(n_groups)).cast("int"))
+    doc_lens = docs_df.select("doc_id", "doc_len")
+    sharded = (
+        doc_terms.join(doc_lens, "doc_id")
+        .withColumn("shard", (F.col("doc_id") % F.lit(n_shards)).cast("int"))
+        .withColumn("group", (F.col("shard") % F.lit(n_groups)).cast("int"))
+    )
 
     def encode_batches(batches):
-        # rows: (shard, term, plist=[struct(doc_id, tf, positions)...]) sorted
-        # by doc_id via sort_array on the struct (doc_id is the first field).
+        # rows: (shard, term, plist=[struct(doc_id, tf, doc_len, positions)...])
+        # sorted by doc_id via sort_array on the struct (doc_id first field).
         import numpy as np
 
         for pdf in batches:
@@ -227,12 +242,13 @@ def build_index(
             for shard, term, plist in zip(pdf["shard"], pdf["term"], pdf["plist"]):
                 doc_ids = np.fromiter((e["doc_id"] for e in plist), dtype=np.int64, count=len(plist))
                 tfs = np.fromiter((e["tf"] for e in plist), dtype=np.int64, count=len(plist))
+                dls = np.fromiter((e["doc_len"] for e in plist), dtype=np.int64, count=len(plist))
                 positions = (
                     np.concatenate([np.asarray(e["positions"], dtype=np.int64) for e in plist])
                     if len(plist)
                     else np.empty(0, dtype=np.int64)
                 )
-                blocks = encode_posting_blocks(doc_ids, tfs, positions)
+                blocks = encode_posting_blocks(doc_ids, tfs, dls, positions, avg_dl)
                 out["shard"].append(int(shard))
                 out["term"].append(term)
                 out["df_shard"].append(len(plist))
@@ -247,7 +263,7 @@ def build_index(
         part = sharded.filter(F.col("group") == g)
         plists = part.groupBy("shard", "term").agg(
             F.sort_array(
-                F.collect_list(F.struct("doc_id", "tf", "positions"))
+                F.collect_list(F.struct("doc_id", "tf", "doc_len", "positions"))
             ).alias("plist")
         )
         postings = plists.mapInPandas(encode_batches, schema=POSTINGS_SCHEMA)
@@ -288,7 +304,13 @@ def build_index(
             spark.createDataFrame(pd.DataFrame(meta_rows)), "build_meta"
         )
     store.finalize_snapshot(
-        {"n_shards": n_shards, "n_groups": n_groups, "build_id": build_id}
+        {
+            "n_shards": n_shards,
+            "n_groups": n_groups,
+            "build_id": build_id,
+            "analyzer": analyzer,
+            "avg_dl": avg_dl,
+        }
     )
     doc_terms.unpersist()
     analyzed.unpersist()

@@ -85,15 +85,24 @@ def parse_query(query: str) -> list[str]:
     return tokens
 
 
-def analyze_tokens(tokens: list[str]) -> list[list[str]]:
-    """Stem each word of each token; drop words that stem to empty."""
+def analyze_tokens(tokens: list[str], analyzer: str = "reference") -> list[list[str]]:
+    """Analyze each word of each token with the INDEX's analyzer; drop
+    words that come out empty.  "reference" = lowercase + Porter step 1;
+    "whitespace" = lowercase only (must match the build-side analyzer)."""
     out = []
     for tok in tokens:
-        words = [analyze_query_word(w) for w in tok.split()]
+        if analyzer == "whitespace":
+            words = [w.lower() for w in tok.split()]
+        else:
+            words = [analyze_query_word(w) for w in tok.split()]
         words = [w for w in words if w]
         if words:
             out.append(words)
     return out
+
+
+def index_analyzer(store: IndexStorage) -> str:
+    return store.read_manifest().get("config", {}).get("analyzer", "reference")
 
 
 def load_postings_for_terms(
@@ -120,10 +129,17 @@ def load_postings_for_terms(
             doc_ids, terms_out, tfs, poss = [], [], [], []
             for term, blocks in zip(pdf["term"], pdf["blocks"]):
                 blks = [
-                    (b["first_docid"], b["last_docid"], b["n"], b["max_tf"], b["data"])
+                    (
+                        b["first_docid"],
+                        b["last_docid"],
+                        b["n"],
+                        b["max_tf"],
+                        b["max_impact"],
+                        b["data"],
+                    )
                     for b in blocks
                 ]
-                d, t, p = decode_posting_blocks(blks, want_positions=want_positions)
+                d, t, _dl, p = decode_posting_blocks(blks, want_positions=want_positions)
                 doc_ids.append(d)
                 tfs.append(t)
                 terms_out.extend([term] * len(d))
@@ -301,7 +317,7 @@ def run_query(
     Results ordered by (score desc, doc_id asc) — the pinned tie-break.
     """
     store = IndexStorage(index_root)
-    token_words = analyze_tokens(parse_query(query))
+    token_words = analyze_tokens(parse_query(query), index_analyzer(store))
     docs = store.read_table(spark, "docs")
     if not token_words:
         return docs.limit(0).withColumn("score", F.lit(0.0)).select(*RESULT_COLS)

@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""N-vs-4N scaling benchmark (BASELINE.md protocol).
+
+Sandbox substitution for the two-cluster-size requirement: the SAME
+build job on the SAME pre-generated corpus at local[N] and local[4N]
+(default N=4), each in a fresh JVM via ``spark-submit --py-files``, the
+whole process tree pinned to exactly that many CPUs with ``taskset``
+(otherwise a local[N] JVM's Arrow-pump/GC threads silently use the
+other idle cores and the small-N baseline is dishonestly fast).
+
+This VM's effective CPU fluctuates (nonzero steal time), so runs are
+INTERLEAVED (N, 4N, N, 4N, ...) and each level takes its best time.
+A pure-CPU multiprocessing probe measures the machine's own parallel
+envelope at the same widths; the report shows raw efficiency and
+envelope-normalized efficiency (engine speedup / machine-max speedup).
+
+Shuffle goes through tmpfs (/dev/shm): on a real cluster shuffle I/O
+scales with the number of nodes; a single shared spinning /tmp would
+bottleneck both levels on one disk and measure the disk, not the engine.
+
+Usage:  python bench/scaling.py [--docs 600000] [--n 4] [--repeats 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import multiprocessing as mp
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
+
+
+def generate_corpus(n_docs: int, workdir: str) -> str:
+    from websearchengine_spark.session import get_spark
+    from websearchengine_spark.sources.corpus import gen_pages_df
+
+    path = os.path.join(workdir, f"corpus_{n_docs}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    spark = get_spark("scaling-gen", cores=32)
+    gen_pages_df(spark, n_docs, seed=42).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def _burn(n: int) -> int:
+    h = "x"
+    for _ in range(n):
+        h = hashlib.md5(h.encode()).hexdigest()
+    return 1
+
+
+def _burn_bw(n_iter: int) -> float:
+    import numpy as np
+
+    a = np.random.rand(40_000_000 // 8)  # ~40MB >> LLC
+    b = np.empty_like(a)
+    s = 0.0
+    for _ in range(n_iter):
+        b[:] = a
+        s += float(b[4096])
+    return s
+
+
+def cpu_envelope(n: int) -> dict:
+    """Machine's own N->4N speedup ceilings: ALU-bound and DRAM-bandwidth-
+    bound probes.  A shared-memory box cannot give a 4-core baseline only
+    1/4 of the bandwidth — these ceilings bound ANY engine's measurable
+    scaling under this substitution."""
+    out = {}
+    for name, fn, work, per in (("alu", _burn, 1_200_000, 4), ("bandwidth", _burn_bw, 30, 2)):
+        rates = {}
+        for procs in (n, 4 * n):
+            os.sched_setaffinity(0, set(range(procs)))
+            tasks = procs * per
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(fn, [work] * tasks)
+            rates[procs] = tasks / (time.time() - t0)
+        out[name] = rates[4 * n] / rates[n]
+    os.sched_setaffinity(0, set(range(os.cpu_count())))
+    return out
+
+
+def run_build(cores: int, corpus: str, out_root: str, driver_mem: str = "40g") -> dict:
+    from websearchengine_spark.session import make_pyfiles_zip
+
+    zip_path = make_pyfiles_zip(os.path.join(tempfile.gettempdir(), "wse_pkg.zip"))
+    local_dir = f"/dev/shm/wse_shuffle_{cores}"
+    os.makedirs(local_dir, exist_ok=True)
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        SPARK_SUBMIT,
+        "--master", f"local[{cores}]",
+        "--driver-memory", driver_mem,
+        "--conf", f"spark.local.dir={local_dir}",
+        "--py-files", zip_path,
+        os.path.join(REPO, "bench", "build_job.py"),
+        corpus, out_root, "32",
+    ]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    wall = time.time() - t0
+    shutil.rmtree(local_dir, ignore_errors=True)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"spark-submit failed at local[{cores}]")
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    out["wall_sec_incl_startup"] = round(wall, 1)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=int(os.environ.get("SCALE_DOCS", 600_000)))
+    ap.add_argument("--n", type=int, default=4, help="small level N (big level = 4N)")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--workdir", default="/tmp/wse_scaling")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    print(f"generating corpus ({args.docs} docs)...", flush=True)
+    corpus = generate_corpus(args.docs, args.workdir)
+
+    print("measuring machine CPU envelopes...", flush=True)
+    env = cpu_envelope(args.n)
+    envelope = env["bandwidth"]  # the build is shuffle/memcpy-heavy
+    print(
+        f"machine max speedup {args.n}->{4 * args.n} cores: "
+        f"ALU {env['alu']:.2f}x, bandwidth {env['bandwidth']:.2f}x",
+        flush=True,
+    )
+
+    levels = (args.n, 4 * args.n)
+    best: dict[int, dict] = {}
+    for attempt in range(args.repeats):
+        for cores in levels:  # interleaved so both levels see the same host weather
+            out_root = os.path.join(args.workdir, f"idx_{cores}")
+            if os.path.exists(out_root):
+                shutil.rmtree(out_root)
+            print(f"build at local[{cores}] (attempt {attempt + 1})...", flush=True)
+            r = run_build(cores, corpus, out_root)
+            print(json.dumps(r), flush=True)
+            if cores not in best or r["build_sec"] < best[cores]["build_sec"]:
+                best[cores] = r
+
+    n, n4 = levels
+    tp_n = best[n]["docs_per_sec"]
+    tp_4n = best[n4]["docs_per_sec"]
+    speedup = tp_4n / tp_n
+    eff = speedup / 4
+    eff_norm = speedup / envelope
+    report = {
+        "n_docs": args.docs,
+        "levels": {"N": n, "4N": n4},
+        f"throughput_local{n}_docs_per_sec": tp_n,
+        f"throughput_local{n4}_docs_per_sec": tp_4n,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "machine_envelope_speedup_alu": round(env["alu"], 3),
+        "machine_envelope_speedup_bandwidth": round(env["bandwidth"], 3),
+        "scaling_efficiency_envelope_normalized": round(eff_norm, 3),
+        "target": 0.8,
+        "pass_raw": eff >= 0.8,
+        "pass_normalized": eff_norm >= 0.8,
+        f"build_sec_local{n}": best[n]["build_sec"],
+        f"build_sec_local{n4}": best[n4]["build_sec"],
+    }
+    print(json.dumps(report), flush=True)
+
+    md = f"""# BENCH / BASELINE — scaling run
+
+Protocol (BASELINE.md): identical index-build job, identical
+pre-generated synthetic corpus ({args.docs:,} docs), two parallelism
+levels in fresh JVMs via `spark-submit --py-files websearchengine_spark.zip
+bench/build_job.py`, each pinned with `taskset` to exactly its core
+budget — the sandbox stand-in for N vs 4N executors.  Runs are
+interleaved and best-of-{args.repeats} per level because this VM's
+effective CPU fluctuates (nonzero steal time).
+
+| level | cores | build sec | docs/sec |
+|---|---|---|---|
+| N  | {n}  | {best[n]['build_sec']:.1f} | {tp_n:.1f} |
+| 4N | {n4} | {best[n4]['build_sec']:.1f} | {tp_4n:.1f} |
+
+**engine speedup = {speedup:.2f}x -> raw scaling efficiency = {eff:.3f}**
+
+Machine envelopes (multiprocessing probes, no Spark, pinned the same
+way): ALU-bound work scales **{env['alu']:.2f}x** and DRAM-bandwidth-
+bound work only **{env['bandwidth']:.2f}x** from {n} to {n4} cores —
+on one box the small-N baseline keeps the ENTIRE memory bandwidth and
+LLC, which a real {n}-executor cluster would not have.  Index building
+is shuffle/memcpy-heavy, so the bandwidth probe is the relevant
+ceiling; the engine achieves **{eff_norm:.3f} of it**
+(target >= 0.8: raw {"PASS" if eff >= 0.8 else "FAIL"},
+envelope-normalized {"PASS" if eff_norm >= 0.8 else "FAIL"}).
+On a real cluster each added executor brings its own memory bandwidth,
+local disks, and network port — the resource the single-box
+substitution cannot scale.
+
+Methodology notes:
+* timing starts after SparkSession + input DataFrame creation (JVM
+  startup excluded); corpus generation happens once, before any run.
+* shuffle spills to tmpfs — on a real cluster shuffle I/O scales with
+  node count; one shared local disk would measure the disk, not the
+  engine.
+* rank identity across configurations is asserted by
+  `tests/test_e2e_rank_identity.py` (same top-k docids + scores <1e-9 at
+  3 and 7 shards) and `tests/test_wand.py` (WAND == exhaustive DataFrame
+  path == NumPy oracle).
+"""
+    bench_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {bench_dir}/BASELINE.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

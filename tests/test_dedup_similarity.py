@@ -1,0 +1,199 @@
+"""Dedup, similarity-search, text-stats, and multimodal operator tests."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    rows = []
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "data stream processing with windows and watermarks at scale",
+        "completely different text about salsa dancing lessons tonight",
+        "a b c d e f g h i j k l m n o p",
+    ]
+    for i in range(40):
+        rows.append((i, base[i % 4] + ("" if i < 20 else f" tail{i}")))
+    # exact duplicates: 0,4,8,12,16 share base[0], etc.
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicates(spark, docs_with_dups):
+    from websearchengine_spark.operators.dedup import exact_duplicates
+
+    groups = exact_duplicates(docs_with_dups).collect()
+    # docs 0..19 form 4 groups of 5 identical texts; 20..39 are unique
+    assert len(groups) == 4
+    assert sorted(g["n_dups"] for g in groups) == [5, 5, 5, 5]
+    all_ids = sorted(i for g in groups for i in g["doc_ids"])
+    assert all_ids == list(range(20))
+
+
+def test_minhash_identical_docs_same_signature(spark, docs_with_dups):
+    from websearchengine_spark.operators.dedup import minhash_signatures
+
+    sigs = {r["doc_id"]: list(r["mh"]) for r in minhash_signatures(docs_with_dups).collect()}
+    assert sigs[0] == sigs[4] == sigs[8]
+    assert sigs[1] == sigs[5]
+    assert sigs[0] != sigs[1]
+
+
+def test_minhash_lsh_pairs_finds_near_dups(spark, docs_with_dups):
+    from websearchengine_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_with_dups, threshold=0.99).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # identical docs must be found with estimate 1.0
+    assert (0, 4) in got
+    assert (1, 5) in got
+    for r in pairs:
+        if (r["doc_a"], r["doc_b"]) == (0, 4):
+            assert r["jaccard_est"] == 1.0
+    # doc 2 vs doc 3 (different text) must NOT appear
+    assert (2, 3) not in got
+
+
+def test_simhash_and_pairs(spark, docs_with_dups):
+    from websearchengine_spark.operators.dedup import simhash, simhash_duplicate_pairs
+
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs_with_dups).collect()}
+    assert s[0] == s[4]
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_duplicate_pairs(docs_with_dups).collect()}
+    assert (0, 4) in pairs
+
+
+def test_token_jaccard_pairs(spark, docs_with_dups):
+    from websearchengine_spark.operators.dedup import token_jaccard_pairs
+
+    pairs = spark.createDataFrame([(0, 4), (0, 2)], "doc_a long, doc_b long")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in token_jaccard_pairs(docs_with_dups, pairs).collect()}
+    assert abs(got[(0, 4)] - 1.0) < 1e-12
+    assert (0, 2) not in got or got[(0, 2)] < 0.2
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(50):
+        v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v]))
+    # vec 49 = exact copy of vec 1 (nearest neighbour by construction)
+    rows[49] = (49, rows[1][1])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark, emb_df):
+    from websearchengine_spark.operators.similarity import cosine_topk
+
+    q = emb_df.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    top = cosine_topk(emb_df, q, k=3).collect()
+    # vec 1 itself and its copy 49 must be the top-2 with cosine 1.0
+    assert [r["vec_id"] for r in top[:2]] == [1, 49]
+    assert abs(top[0]["cosine"] - 1.0) < 1e-9
+    assert abs(top[1]["cosine"] - 1.0) < 1e-9
+
+
+def test_lsh_bucket_copies_collide(spark, emb_df):
+    from websearchengine_spark.operators.similarity import lsh_bucket
+
+    b = {r["vec_id"]: r["bucket"] for r in lsh_bucket(emb_df).collect()}
+    assert b[1] == b[49]
+    assert len(set(b.values())) > 1  # planes actually partition the space
+
+
+def test_ivf_matches_brute_force_with_full_probe(spark, emb_df):
+    from websearchengine_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    q = emb_df.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    cents = ivf_build_centroids(emb_df, nlist=4)
+    assert len(cents) == 4
+    # probing ALL lists must equal brute force exactly
+    full = [(r["vec_id"], round(r["cosine"], 9)) for r in ivf_topk(emb_df, cents, q, k=5, nprobe=4).collect()]
+    brute = [(r["vec_id"], round(r["cosine"], 9)) for r in cosine_topk(emb_df, q, k=5).collect()]
+    assert full == brute
+    # nprobe=1 scans fewer vecs but must still find the exact copy
+    near = [r["vec_id"] for r in ivf_topk(emb_df, cents, q, k=2, nprobe=1).collect()]
+    assert 1 in near or 49 in near
+
+
+def test_lang_id(spark):
+    from websearchengine_spark.operators.textstats import lang_id
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and the dog is in a house"),
+            (1, "der hund ist nicht in das haus und die katze"),
+            (2, "xyzzy qwerty plugh foobar"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "und"
+
+
+def test_quality_scores(spark):
+    from websearchengine_spark.operators.textstats import quality_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a rich and varied document with many distinct informative words here"),
+            (1, "spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert got[0]["quality"] > got[1]["quality"]
+    assert got[1]["top_tok_share"] == 1.0
+    assert got[0]["ttr"] > got[1]["ttr"]
+
+
+def test_token_counts(spark):
+    from websearchengine_spark.operators.textstats import token_counts
+
+    docs = spark.createDataFrame(
+        [(0, "hello world 123 foo-bar")], "doc_id long, text string"
+    )
+    r = token_counts(docs).collect()[0]
+    assert r["ws_tokens"] == 4
+    # bpe-ish: hello, world, 123, foo, -, bar
+    assert r["bpeish_tokens"] == 6
+
+
+def test_doc_fingerprints_stable(spark, docs_with_dups):
+    from websearchengine_spark.operators.textstats import doc_fingerprints
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprints(docs_with_dups).collect()}
+    assert fp[0] == fp[4]  # identical docs -> identical fingerprints
+
+
+def test_multimodal_feature_plumbing(spark, docs_with_dups):
+    from websearchengine_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        make_assets,
+    )
+
+    assets = make_assets(docs_with_dups.limit(9))
+    feats = extract_features(assets).collect()
+    assert len(feats) == 9
+    mods = {r["modality"] for r in feats}
+    assert mods == {"image", "audio", "video"}
+    for r in feats:
+        assert len(r["features"]) == FEATURE_DIM
+        assert r["n_bytes"] > 0
+        assert r["height"] > 0 and r["width"] > 0
+    # deterministic: same payload -> same features
+    again = extract_features(assets).collect()
+    assert sorted(map(repr, feats)) == sorted(map(repr, again))

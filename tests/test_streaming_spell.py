@@ -1,0 +1,169 @@
+"""Structured-Streaming clicklog + PMI suggestions + spell correction +
+next-word suggestion tests."""
+
+import datetime as dt
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _click(session, query, did, action, sec):
+    return {
+        "session_id": session,
+        "query": query,
+        "doc_id": did,
+        "action": action,
+        "ts": (T0 + dt.timedelta(seconds=sec)).strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+    }
+
+
+@pytest.fixture(scope="module")
+def click_source(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clicks_src")
+    events = [
+        _click("s1", "google", 1, "click", 0),
+        _click("s1", "google map", 2, "click", 30),     # pair within 60s
+        _click("s1", "salsa", 3, "click", 300),          # gap > 60s: no pair
+        _click("s2", "google", 4, "click", 0),
+        _click("s2", "google map", 5, "click", 10),      # pair again
+        _click("s2", "web search", 6, "click", 40),      # map->web pair
+        _click("s3", "google", 7, "click", 0),
+        _click("s3", "google", 8, "click", 20),          # same query: no pair
+    ]
+    with open(os.path.join(d, "part1.json"), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    return str(d)
+
+
+def test_streaming_ingest_appends_table(spark, click_source, tmp_path):
+    from websearchengine_spark.streaming.clicklog import start_click_ingest
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table = str(tmp_path / "clicks_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_click_ingest(spark, click_source, table, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(table)
+    assert got.count() == 8
+    assert set(got.columns) >= {"session_id", "query", "doc_id", "action", "ts", "dt"}
+    # restart with no new data: no duplicates (checkpointed file source)
+    q2 = start_click_ingest(spark, click_source, table, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(table).count() == 8
+
+
+def test_streaming_query_counts(spark, click_source):
+    from websearchengine_spark.streaming.clicklog import streaming_query_counts
+
+    agg = streaming_query_counts(spark, click_source)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("qc_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT query, sum(n) AS n FROM qc_test GROUP BY query").collect()
+    got = {r["query"]: r["n"] for r in rows}
+    assert got["google"] == 4
+    assert got["google map"] == 2
+
+
+def test_pmi_suggestions(spark, click_source):
+    from websearchengine_spark.streaming.clicklog import (
+        CLICK_SCHEMA,
+        pmi_suggestions,
+        session_query_pairs,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    clicks = spark.read.schema(CLICK_SCHEMA).json(click_source)
+    pairs = [(r["q1"], r["q2"]) for r in session_query_pairs(clicks).collect()]
+    assert pairs.count(("google", "google map")) == 2
+    assert ("google map", "web search") in pairs
+    assert ("google map", "salsa") not in pairs  # outside the 60s window
+    assert ("google", "google") not in pairs
+
+    sugg = pmi_suggestions(clicks).collect()
+    by_q1 = {}
+    for r in sugg:
+        by_q1.setdefault(r["q1"], []).append((r["q2"], r["pmi"]))
+    assert by_q1["google"][0][0] == "google map"
+    # pmi formula check: f_pair=2, f(google)=4, f(google map)=2
+    want = math.log(2 / (4 * 2) + 1.0)
+    assert abs(by_q1["google"][0][1] - want) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def spell_index(spark, corpus_pdf, tmp_path_factory):
+    from websearchengine_spark.operators.build import build_index
+
+    root = str(tmp_path_factory.mktemp("spell_idx"))
+    pages = spark.createDataFrame(corpus_pdf)
+    build_index(spark, pages, root, n_shards=4, n_groups=2, keep_doc_tokens=True)
+    return root
+
+
+def test_spell_correction_finds_real_term(spark, spell_index):
+    from websearchengine_spark.operators.spell import correct_query
+
+    # 'gooble' -> 'google' (one substitution; a transposition like
+    # 'googel' is Levenshtein distance 2 and correctly NOT matched)
+    got = correct_query(spark, spell_index, "gooble", freq_threshold=10, min_hits=1).collect()
+    corrected = [r["corrected"] for r in got]
+    assert "google" in corrected
+    # correct term has first-char match -> distance 0 -> ranked first
+    assert got[0]["corrected"] in ("google", "gooble")
+
+
+def test_spell_correct_word_passes_through(spark, spell_index):
+    from websearchengine_spark.operators.spell import correct_query
+
+    got = correct_query(spark, spell_index, "data mining", freq_threshold=10, min_hits=1).collect()
+    assert any(r["corrected"] == "data mining" for r in got)
+    for r in got:
+        assert r["n_hits"] >= 1
+
+
+def test_spell_min_hits_gate(spark, spell_index):
+    from websearchengine_spark.operators.spell import correct_query
+
+    loose = correct_query(spark, spell_index, "google", freq_threshold=10, min_hits=1).count()
+    strict = correct_query(
+        spark, spell_index, "google", freq_threshold=10, min_hits=10**6
+    ).count()
+    assert loose >= 1
+    assert strict == 0
+
+
+def test_next_word_suggestions(spark, spell_index, oracle_index):
+    from websearchengine_spark.operators.spell import next_word_suggestions
+
+    got = {
+        r["next_word"]: r["n"]
+        for r in next_word_suggestions(spark, spell_index, "the", top_n=10).collect()
+    }
+    # mirror: rebuild per-doc position->term maps from the oracle postings
+    # and count the token after every occurrence of 'the'
+    from collections import Counter
+
+    doc_pos: dict[int, dict[int, str]] = {}
+    for term, pl in oracle_index.postings.items():
+        for did, positions in pl.items():
+            for p in positions:
+                doc_pos.setdefault(did, {})[p] = term
+    want = Counter()
+    for did, positions in oracle_index.postings.get("the", {}).items():
+        for p in positions:
+            nxt = doc_pos[did].get(p + 1)
+            if nxt is not None:
+                want[nxt] += 1
+    top = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+    assert got == top

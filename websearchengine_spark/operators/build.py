@@ -4,25 +4,32 @@ constructIndex :167-277; lifecycle traced in SURVEY.md §3.1).
 
 Pipeline (all DataFrame; boundaries are Spark stages):
 
+    pages.select(url) ──► url rank (tiny two-phase)      [doc_id mapping]
     pages ──mapInPandas──► (url, title, tokens)          [narrow: extract+analyze]
-      │ repartitionByRange(url) + local row_number + partition offsets
+      │ join(broadcast ids) ──► docs table               [no heavy shuffle]
+      │ posexplode(tokens) carrying doc_len = size(tokens)
       ▼
-    docs(doc_id, url, title, doc_len, pagerank, numviews) [1 shuffle]
-      │ posexplode(tokens)
+    groupBy(shard = doc_id % n_shards, term)             [the ONE shuffle]
+      │ sort_array(collect_list(struct(doc_id, pos, doc_len)))
       ▼
-    groupBy(doc_id, term) -> tf, positions               [shuffle 1: partial agg map-side]
-      │ shard = doc_id % n_shards
-      ▼
-    groupBy(shard, term) -> sorted docs/tfs/positions    [shuffle 2]
-      │ applyInPandas encode (delta-gap + varbyte blocks)
+    mapInPandas encode: numpy run-length split per doc,
+      delta-gap + varbyte block-max blocks
       ▼
     postings(shard, term, df_shard, ctf_shard, blocks)   [written per shard-group]
+    term_stats = sum of per-shard df/ctf over postings   [tiny agg, no rescan]
 
 Scale design decisions (the 100 TB story):
 
   * doc-id assignment is the scalable two-phase scheme (per-partition
-    row_number + broadcast partition offsets) — a single-partition global
-    window would serialize the corpus through one task.  SURVEY §7.3.
+    row_number + broadcast partition offsets) computed on the URL COLUMN
+    ALONE — a single-partition global window would serialize the corpus
+    through one task, and ranking the full analyzed stream would
+    double-evaluate the UDF via range-partitioner sampling.  SURVEY §7.3.
+  * the occurrence stream is shuffled exactly ONCE: doc_len rides along
+    each occurrence (computed before the explode), so there is no
+    intermediate per-(doc,term) aggregation, no multi-GB cache of
+    position arrays, and no doc_len join.  Per-doc tf/positions are
+    rebuilt by numpy run-length splitting inside the Arrow encoder.
   * postings are DOC-SHARDED (shard = doc_id % n_shards): every term's
     list is split across all shards, so head-term skew (stopwords with
     df ~ corpus size) is bounded by ceil(df / n_shards) — sharding IS the
@@ -120,18 +127,17 @@ def analyze_pages(pages: DataFrame, analyzer: str = "reference") -> DataFrame:
     return pages.select(*cols).mapInPandas(run, schema=ANALYZED_SCHEMA)
 
 
-def assign_doc_ids(analyzed: DataFrame, n_parts: int | None = None) -> DataFrame:
-    """Deterministic dense doc_id = rank of url in global url sort order.
+def rank_urls(urls: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """(url, doc_id): dense rank of url in global sort order.
 
     Scalable two-phase: range-partition by url, local row_number, then
     add broadcast per-partition offsets.  (A global ``row_number() over
     (order by url)`` funnels everything through one task; never do that
     at 10^12 rows.)  SURVEY.md §7.3.
     """
-    spark = analyzed.sparkSession
     if n_parts is None:
-        n_parts = max(8, analyzed.sparkSession.sparkContext.defaultParallelism)
-    parted = analyzed.repartitionByRange(n_parts, "url").withColumn(
+        n_parts = max(8, urls.sparkSession.sparkContext.defaultParallelism)
+    parted = urls.select("url").repartitionByRange(n_parts, "url").withColumn(
         "_pid", F.spark_partition_id()
     )
     parted = parted.persist()
@@ -142,11 +148,28 @@ def assign_doc_ids(analyzed: DataFrame, n_parts: int | None = None) -> DataFrame
         acc += counts[pid]
     offs = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("_pid").orderBy("url")
-    return (
+    out = (
         parted.withColumn("_rn", F.row_number().over(w))
         .withColumn("doc_id", (offs[F.col("_pid")] + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn")
     )
+    return out
+
+
+def assign_doc_ids(analyzed: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """Attach deterministic dense doc_id = rank of url in sort order.
+
+    The rank is computed on the url column ALONE (a narrow, column-pruned
+    pass — critically, this avoids range-partitioner SAMPLING of the
+    heavy analyzed stream, which would evaluate the extract/analyze UDF a
+    second time) and joined back.  The id side is tiny relative to the
+    token stream, so Catalyst broadcasts it at bench scale; at extreme
+    scale it degrades to a sort-merge join on url, which is still one
+    shuffle of the heavy side — the same price the old repartitionByRange
+    paid, without the double UDF evaluation.
+    """
+    ids = rank_urls(analyzed.select("url"), n_parts)
+    return analyzed.join(ids, "url")
 
 
 def build_index(
@@ -158,6 +181,7 @@ def build_index(
     resume: bool = True,
     signals: DataFrame | None = None,
     keep_doc_terms: bool = True,
+    keep_doc_tokens: bool = False,
     analyzer: str = "reference",
 ) -> IndexStorage:
     """Build the full index at ``index_root``; resumable per shard-group.
@@ -167,6 +191,20 @@ def build_index(
     missing urls get pagerank=0.0 / numviews=0 (coalesce, as the
     reference's map lookups default, IndexerInvertedCompressed.java:258-269).
     """
+    phase_t: dict[str, float] = {}
+    _t = [time.time()]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        phase_t[name] = round(now - _t[0], 2)
+        _t[0] = now
+
+    # encode-stage rows are FAT (three parallel arrays, ~df_shard elements
+    # each for head terms) — the default 10k-row Arrow batch balloons to
+    # gigabytes per in-flight task.  Cap rows per batch for the build.
+    _prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+
     store = IndexStorage(index_root)
     manifest = store.read_manifest()
     build_id = store.new_build_id()
@@ -179,8 +217,21 @@ def build_index(
     )
     store.write_manifest(manifest)
 
-    analyzed = assign_doc_ids(analyze_pages(pages, analyzer=analyzer))
+    # the Arrow extract/analyze UDF is the dominant CPU cost; if the input
+    # has fewer splits than cores (e.g. a few large parquet files), the
+    # whole stage serializes on those splits — widen it first.  On a real
+    # cluster the input normally has plenty of splits and this is a no-op.
+    cores = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < cores:
+        pages = pages.repartition(cores * 2)
+    # url rank from the RAW input (parquet column-prunes to a url-only
+    # scan); joining it to the UDF output avoids both a second UDF
+    # evaluation (range-partitioner sampling) and a heavy-side shuffle
+    # (the id side broadcasts)
+    ids = rank_urls(pages.select("url"))
+    analyzed = analyze_pages(pages, analyzer=analyzer).join(ids, "url")
     analyzed = analyzed.persist()
+    _mark("setup")
 
     # ---- docs ----------------------------------------------------------
     docs = analyzed.select(
@@ -195,25 +246,22 @@ def build_index(
     else:
         docs = docs.withColumn("pagerank", F.lit(0.0)).withColumn("numviews", F.lit(0).cast("long"))
     store.write_table(docs.select("doc_id", "url", "title", "doc_len", "pagerank", "numviews"), "docs")
+    _mark("analyze_and_docs")
 
-    # ---- doc_terms (A1) + term/corpus stats (A3-A5) --------------------
-    exploded = analyzed.select(
-        "doc_id", F.posexplode("tokens").alias("pos", "term")
-    )
-    doc_terms = exploded.groupBy("doc_id", "term").agg(
-        F.count("*").cast("int").alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-    )
-    doc_terms = doc_terms.persist()
-
+    # ---- optional forward-index tables (A1 / S7) ------------------------
     if keep_doc_terms:
-        store.write_table(doc_terms.select("doc_id", "term", "tf"), "doc_terms")
-
-    term_stats = doc_terms.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("ctf"),
-    )
-    store.write_table(term_stats, "term_stats")
+        exploded = analyzed.select(
+            "doc_id", F.posexplode("tokens").alias("pos", "term")
+        )
+        doc_terms = exploded.groupBy("doc_id", "term").agg(
+            F.count("*").cast("int").alias("tf")
+        )
+        store.write_table(doc_terms, "doc_terms")
+    if keep_doc_tokens:
+        # positional forward index (S7 analog): doc_id -> kept tokens in
+        # position order; powers next-word suggestion (Q6)
+        store.write_table(analyzed.select("doc_id", "tokens"), "doc_tokens")
+    _mark("doc_terms_tables")
 
     docs_df = store.read_table(spark, "docs")
     stats = docs_df.agg(
@@ -223,36 +271,53 @@ def build_index(
     store.write_table(stats, "stats")
     srow = store.read_table(spark, "stats").collect()[0]
     avg_dl = srow["total_tf"] / max(1, srow["num_docs"])
+    _mark("stats")
 
     # ---- postings: doc-sharded, blocked, per-group resumable commits ---
-    doc_lens = docs_df.select("doc_id", "doc_len")
-    sharded = (
-        doc_terms.join(doc_lens, "doc_id")
-        .withColumn("shard", (F.col("doc_id") % F.lit(n_shards)).cast("int"))
-        .withColumn("group", (F.col("shard") % F.lit(n_groups)).cast("int"))
+    # SINGLE-SHUFFLE design: doc_len is computed per doc BEFORE the
+    # explode (size(tokens)) and rides along each occurrence, so the
+    # pipeline is explode -> one groupBy(shard, term) -> encode.  No
+    # intermediate (doc_id, term) aggregation, no cache of 10^1x-row
+    # position arrays, no doc_len join — the occurrence stream is
+    # shuffled exactly once and reduced straight into posting blocks.
+    # Per-doc tf/positions are reconstructed in numpy from the sorted
+    # (doc_id, pos) runs inside the Arrow encoder.
+    occs = analyzed.select(
+        "doc_id",
+        F.size("tokens").alias("doc_len"),
+        F.posexplode("tokens").alias("pos", "term"),
     )
 
+    def group_slice(g: int):
+        return occs.filter(
+            (F.col("doc_id") % n_shards) % n_groups == g
+        ).withColumn("shard", (F.col("doc_id") % F.lit(n_shards)).cast("int"))
+
     def encode_batches(batches):
-        # rows: (shard, term, plist=[struct(doc_id, tf, doc_len, positions)...])
-        # sorted by doc_id via sort_array on the struct (doc_id first field).
+        # rows: (shard, term, doc_ids[], poss[], dls[]) — the three arrays
+        # are parallel, sorted by (doc_id, pos) via sort_array on structs
+        # and split into flat arrays JVM-side (cheap Arrow transfer).
         import numpy as np
 
         for pdf in batches:
             out = {"shard": [], "term": [], "df_shard": [], "ctf_shard": [], "blocks": []}
-            for shard, term, plist in zip(pdf["shard"], pdf["term"], pdf["plist"]):
-                doc_ids = np.fromiter((e["doc_id"] for e in plist), dtype=np.int64, count=len(plist))
-                tfs = np.fromiter((e["tf"] for e in plist), dtype=np.int64, count=len(plist))
-                dls = np.fromiter((e["doc_len"] for e in plist), dtype=np.int64, count=len(plist))
-                positions = (
-                    np.concatenate([np.asarray(e["positions"], dtype=np.int64) for e in plist])
-                    if len(plist)
-                    else np.empty(0, dtype=np.int64)
+            for shard, term, d, p, dl in zip(
+                pdf["shard"], pdf["term"], pdf["doc_ids"], pdf["poss"], pdf["dls"]
+            ):
+                d = np.asarray(d, dtype=np.int64)
+                p = np.asarray(p, dtype=np.int64)
+                dl = np.asarray(dl, dtype=np.int64)
+                # run-length split of the sorted doc_id column
+                uniq, starts, counts = np.unique(
+                    d, return_index=True, return_counts=True
                 )
-                blocks = encode_posting_blocks(doc_ids, tfs, dls, positions, avg_dl)
+                blocks = encode_posting_blocks(
+                    uniq, counts, dl[starts], p, avg_dl
+                )
                 out["shard"].append(int(shard))
                 out["term"].append(term)
-                out["df_shard"].append(len(plist))
-                out["ctf_shard"].append(int(tfs.sum()))
+                out["df_shard"].append(int(uniq.size))
+                out["ctf_shard"].append(int(d.size))
                 out["blocks"].append(blocks)
             yield pd.DataFrame(out)
 
@@ -260,31 +325,65 @@ def build_index(
     for g in range(n_groups):
         if g in done:
             continue
-        part = sharded.filter(F.col("group") == g)
+        part = group_slice(g)
         plists = part.groupBy("shard", "term").agg(
             F.sort_array(
-                F.collect_list(F.struct("doc_id", "tf", "doc_len", "positions"))
-            ).alias("plist")
+                F.collect_list(F.struct("doc_id", "pos", "doc_len"))
+            ).alias("occ")
+        ).select(
+            "shard",
+            "term",
+            F.expr("transform(occ, o -> o.doc_id)").alias("doc_ids"),
+            F.expr("transform(occ, o -> o.pos)").alias("poss"),
+            F.expr("transform(occ, o -> o.doc_len)").alias("dls"),
         )
         postings = plists.mapInPandas(encode_batches, schema=POSTINGS_SCHEMA)
+        # term-sorted row groups => parquet min/max stats prune query-term
+        # scans (the `term IN (...)` filter skips whole row groups)
+        postings = postings.sortWithinPartitions("term")
         store.write_partition(postings, "postings", "group", g)
-        gm = part.agg(
-            F.count("*").alias("n_postings"),
-            F.countDistinct("term").alias("n_terms"),
-            F.countDistinct("doc_id").alias("n_docs"),
+        # metrics from the (small, columnar) postings output — no second
+        # pass over doc_terms; n_docs is analytic since doc_ids are dense
+        written = store.read_table(spark, f"postings/group={g}")
+        gm = written.agg(
+            F.sum("df_shard").alias("n_postings"),
+            F.count("*").alias("n_terms"),
+            F.max("ctf_shard").alias("max_term_postings"),
         ).collect()[0]
+        num_docs = int(srow["num_docs"])
+        group_shards = range(g, n_shards, n_groups)
+        n_docs_group = sum(
+            (num_docs - s + n_shards - 1) // n_shards for s in group_shards
+        )
         store.mark_group_complete(
             g,
             {
                 "build_id": build_id,
-                "n_postings": gm["n_postings"],
-                "n_terms": gm["n_terms"],
-                "n_docs": gm["n_docs"],
-                "n_shards_in_group": len(range(g, n_shards, n_groups)),
+                "n_postings": int(gm["n_postings"] or 0),
+                "n_terms": int(gm["n_terms"] or 0),
+                "n_docs": n_docs_group,
+                "max_term_postings": int(gm["max_term_postings"] or 0),
+                "n_shards_in_group": len(group_shards),
                 "elapsed_sec": time.time() - t_group_start,
             },
         )
         t_group_start = time.time()
+
+    _mark("postings_groups")
+
+    # ---- global term stats (A3/A4) from the per-shard postings ---------
+    # df/ctf are additive across doc-shards, so this is a tiny aggregation
+    # over the (vocab x shards)-row postings table — no token rescan.
+    term_stats = (
+        store.read_partitioned(spark, "postings")
+        .groupBy("term")
+        .agg(
+            F.sum("df_shard").cast("long").alias("df"),
+            F.sum("ctf_shard").cast("long").alias("ctf"),
+        )
+    )
+    store.write_table(term_stats, "term_stats")
+    _mark("term_stats")
 
     # ---- build_meta table + snapshot -----------------------------------
     m = store.read_manifest()
@@ -310,8 +409,10 @@ def build_index(
             "build_id": build_id,
             "analyzer": analyzer,
             "avg_dl": avg_dl,
+            "phase_timings_sec": phase_t,
         }
     )
-    doc_terms.unpersist()
     analyzed.unpersist()
+    if _prev_batch is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", _prev_batch)
     return store

@@ -1,0 +1,223 @@
+"""Large-scale deduplication operators over a documents-shaped DataFrame
+``(doc_id: long, text: string, ...)`` — the training-data-pipeline tier.
+
+All operators are pure ``pyspark.sql`` column expressions (JVM-side,
+whole-stage-codegen'd; no Python UDFs), so they scale with Catalyst and
+are DuckDB-oracle-checkable (__spark_entry__.py pairs each with SQL).
+
+Scale notes (100 TB story):
+  * exact dedup: one hash-aggregate on md5(text) — map-side partial agg,
+    no skew (hashes are uniform).
+  * MinHash/LSH: shingling explodes ~|text| rows per doc but each row is
+    tiny; the minhash groupBy reduces back to one row per doc BEFORE the
+    band join, so the only pairwise work happens inside LSH buckets.
+    Bucket skew (a degenerate shingle shared by everything) is bounded
+    by banding over multiple independent hashes.
+  * SimHash: linear in corpus token count; candidate pairs come from
+    exact simhash-key equality (a hash-join), optionally relaxed by
+    rotating bit-bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_HASHES = 8
+DEFAULT_BANDS = 4
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (text_hash, n_dups, doc_ids) for groups > 1."""
+    return (
+        docs.select("doc_id", F.md5(F.encode(text_col, "UTF-8")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _norm(text_col: str):
+    return F.regexp_replace(F.lower(text_col), r"\s+", " ")
+
+
+def char_shingles(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """(doc_id, shingle): character k-grams of whitespace-normalized text."""
+    return (
+        docs.select("doc_id", _norm(text_col).alias("norm"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("norm") - (k - 1), F.lit(1)))
+            ).alias("i"),
+            "norm",
+        )
+        .select("doc_id", F.expr(f"substring(norm, i, {k})").alias("shingle"))
+    )
+
+
+def _hash32(col, salt: int):
+    """Deterministic 32-bit hash of a string column (md5-based, portable)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(F.concat(F.lit(f"{salt}|"), col), "UTF-8")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """(doc_id, mh: array<long>) MinHash signature per doc."""
+    sh = char_shingles(docs, text_col, shingle_k)
+    aggs = [F.min(_hash32(F.col("shingle"), h)).alias(f"mh{h}") for h in range(n_hashes)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"mh{h}") for h in range(n_hashes)]).alias("mh")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    shingle -> minhash -> band -> bucket-join: docs sharing any band
+    bucket become a candidate pair; the pair's estimated Jaccard is the
+    fraction of agreeing minhashes; pairs >= threshold survive.
+    Returns (doc_a, doc_b, jaccard_est) with doc_a < doc_b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, text_col, n_hashes, shingle_k).persist()
+    banded = sig.select(
+        "doc_id",
+        "mh",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "mh",
+        "band",
+        F.concat_ws(
+            ":",
+            F.col("band"),
+            *[
+                F.expr(f"mh[{'band'} * {rows_per_band} + {r}]")
+                for r in range(rows_per_band)
+            ],
+        ).alias("bucket"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"), "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "mh_a", "mh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        pairs.withColumn("jaccard_est", agree / F.lit(float(n_hashes)))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash: long): tf-weighted sign-bit fingerprint."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    contribs = tf.select(
+        "doc_id",
+        "tf",
+        "term",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    ).withColumn(
+        "contrib",
+        F.col("tf")
+        * F.when(
+            F.substring(F.md5(F.encode("term", "UTF-8")), F.col("b") + 1, 1).isin(
+                "1", "3", "5", "7", "9", "b", "d", "f"
+            ),
+            1,
+        ).otherwise(-1),
+    )
+    return (
+        contribs.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bit", F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b"))).otherwise(0.0)
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit").cast("long").alias("simhash"))
+    )
+
+
+def simhash_duplicate_pairs(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Candidate near-dup pairs with IDENTICAL simhash (hamming 0 join).
+
+    A hamming<=k join would rotate bit-bands; identical-key equality is
+    the exact-collision base case and a plain hash join.
+    """
+    s = simhash(docs, text_col, bits)
+    a = s.select(F.col("doc_id").alias("doc_a"), "simhash")
+    b = s.select(F.col("doc_id").alias("doc_b"), "simhash")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "simhash")
+    )
+
+
+def token_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact token-set Jaccard for given (doc_a, doc_b) candidate pairs."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")).alias(
+            "term"
+        ),
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = toks.withColumnRenamed("doc_id", "doc_a")
+    tb = toks.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c") / (F.col("sa") + F.col("sb") - F.col("c"))).alias("jaccard"),
+        )
+    )

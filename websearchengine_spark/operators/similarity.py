@@ -1,0 +1,138 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the scale paths are
+sign-LSH bucketing (hash join instead of cross join) and an IVF-style
+coarse quantizer (search only the closest partitions).  All math is
+native higher-order functions (zip_with/aggregate) — JVM-side, no
+Python.
+
+Scale notes: brute force is O(N) per query but embarrassingly parallel
+and shuffle-free (a scan + TakeOrderedAndProject); IVF cuts the scanned
+fraction to nprobe/nlist with a broadcast of the (tiny) centroid set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def _as_double(col):
+    return col.cast("array<double>")
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (id, cosine), tie-break id asc."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _as_double(F.col(vec_col))
+    return (
+        emb.select(
+            F.col(id_col),
+            (_dot(v, q) / (_norm(v) * _norm(q))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucket(
+    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, bucket): sign-LSH over deterministic pseudo-random hyperplanes.
+
+    Plane p's weight for dimension i is a fixed hash of (i, p) — no
+    stored model, reproducible everywhere (including in plain SQL).
+    """
+    rows = emb.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"),
+        F.col(vec_col).alias("v"),
+    )
+    per_dim = rows.select(
+        id_col,
+        "p",
+        F.explode(F.sequence(F.lit(1), F.size("v"))).alias("i"),
+        F.element_at(_as_double(F.col("v")), F.col("i")).alias("x"),
+    ).withColumn(
+        "w", ((F.col("i") * (F.col("p") + 3) * 2654435761) % 1000) / 1000.0 - 0.5
+    )
+    dots = per_dim.groupBy(id_col, "p").agg(F.sum(F.col("x") * F.col("w")).alias("d"))
+    return (
+        dots.withColumn(
+            "bit", F.when(F.col("d") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(0.0)
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bit").cast("long").alias("bucket"))
+    )
+
+
+def ivf_build_centroids(
+    emb: DataFrame, nlist: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: centroids = mean of each residue
+    class (id % nlist) — one aggregation, no iterative k-means (the
+    assignment structure, not clustering quality, is what the engine
+    path exercises; swap in k-means|| offline for production)."""
+    n_dim = len(emb.select(vec_col).first()[0])
+    agg = (
+        emb.select((F.col(id_col) % nlist).alias("c"), _as_double(F.col(vec_col)).alias("v"))
+        .groupBy("c")
+        .agg(
+            F.array(
+                *[F.avg(F.element_at("v", i + 1)) for i in range(n_dim)]
+            ).alias("centroid")
+        )
+        .orderBy("c")
+        .collect()
+    )
+    return [list(r["centroid"]) for r in agg]
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list[list[float]], id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id): nearest centroid by dot product (broadcast arith)."""
+    v = _as_double(F.col(vec_col))
+    scores = [
+        _dot(v, F.array(*[F.lit(float(x)) for x in c])).alias(f"_s{i}")
+        for i, c in enumerate(centroids)
+    ]
+    scored = emb.select(F.col(id_col), *scores)
+    arr = F.array(*[F.col(f"_s{i}") for i in range(len(centroids))])
+    return scored.select(
+        id_col,
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("list_id"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids vs the query, scan only the nprobe
+    closest lists, exact cosine within them."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    sims = [float(np.dot(q, np.asarray(c))) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: -sims[i])[:nprobe]
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    subset = emb.join(assigned.filter(F.col("list_id").isin(probe)), id_col)
+    return cosine_topk(subset, query_vec, k, id_col, vec_col)

@@ -147,7 +147,7 @@ PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang st
 def gen_pages_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
     """Distributed pages generation: spark.range -> mapInPandas (Arrow)."""
     if partitions is None:
-        partitions = max(8, n_docs // 20_000)
+        partitions = max(32, n_docs // 2_500)
     base = spark.range(0, n_docs, numPartitions=partitions)
 
     def gen(batches):

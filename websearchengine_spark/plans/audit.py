@@ -1,0 +1,92 @@
+"""Plan audit helpers: assert the physical plans we designed for are the
+plans Catalyst actually produces.
+
+``audit_plans(spark, index_root)`` returns {check_name: (ok, evidence)}
+and is used both by tests and by ``python -m websearchengine_spark.plans.audit``
+to regenerate PLANS.md.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def plan_of(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def audit_plans(spark, index_root: str) -> dict[str, tuple[bool, str]]:
+    from websearchengine_spark.operators.query import load_postings_for_terms, run_query
+    from websearchengine_spark.operators.topk import wand_topk
+    from websearchengine_spark.sources.storage import IndexStorage
+
+    store = IndexStorage(index_root)
+    out: dict[str, tuple[bool, str]] = {}
+
+    # 1. query-term filter reaches the parquet scan (PushedFilters) and
+    #    only term+blocks columns are read (ReadSchema pruning)
+    postings = store.read_partitioned(spark, "postings").filter(
+        F.col("term").isin(["web", "search"])
+    ).select("term", "blocks")
+    p = plan_of(postings)
+    ok = ("PushedFilters: [In(term" in p or "PushedFilters: [In(`term`" in p) and "html" not in p
+    out["postings_scan_pushdown"] = (ok, _scan_lines(p))
+
+    # 2. WAND path: metadata join is a broadcast, global top-k is
+    #    TakeOrderedAndProject (bounded heap merge, no full sort)
+    wp = plan_of(wand_topk(spark, index_root, "web search", k=10))
+    ok = "TakeOrderedAndProject" in wp and "BroadcastHashJoin" in wp
+    out["wand_topk_merge_and_broadcast"] = (ok, _grep(wp, ["TakeOrderedAndProject", "BroadcastHashJoin"]))
+
+    # 3. DataFrame scorer path: same properties
+    rp = plan_of(run_query(spark, index_root, "web search", ranker="bm25", k=10))
+    ok = "TakeOrderedAndProject" in rp and "BroadcastHashJoin" in rp
+    out["dataframe_scorer_merge"] = (ok, _grep(rp, ["TakeOrderedAndProject", "BroadcastHashJoin"]))
+
+    # 4. docs lookup by doc_id list (J3): predicate pushed to scan
+    docs = store.read_table(spark, "docs").filter(F.col("doc_id").isin([1, 2, 3]))
+    dp = plan_of(docs)
+    ok = "PushedFilters: [In(doc_id" in dp or "PushedFilters: [In(`doc_id`" in dp
+    out["docs_lookup_pushdown"] = (ok, _scan_lines(dp))
+
+    return out
+
+
+def _grep(plan: str, needles: list[str]) -> str:
+    lines = [l.strip() for l in plan.splitlines() if any(n in l for n in needles)]
+    return "\n".join(dict.fromkeys(lines))
+
+
+def _scan_lines(plan: str) -> str:
+    keep = [
+        l.strip()
+        for l in plan.splitlines()
+        if "PushedFilters" in l or "ReadSchema" in l or "Scan parquet" in l
+    ]
+    return "\n".join(keep[:6])
+
+
+def main() -> None:  # pragma: no cover - manual utility
+    import sys
+    import tempfile
+
+    sys.path.insert(0, ".")
+    from websearchengine_spark.operators.build import build_index
+    from websearchengine_spark.session import get_spark
+    from websearchengine_spark.sources.corpus import gen_pages_df
+
+    spark = get_spark("plan-audit", cores=4)
+    root = tempfile.mkdtemp(prefix="wse_plans_")
+    build_index(spark, gen_pages_df(spark, 500, seed=42), root, n_shards=4, n_groups=2)
+    for name, (ok, ev) in audit_plans(spark, root).items():
+        print(f"### {name}: {'OK' if ok else 'NOT OK'}\n{ev}\n")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -81,6 +81,16 @@ def main() -> None:
         for q in ["data stream join", "hash merge", "customer query batch"]:
             wand_topk(spark, root, q, k=10).collect()
 
+    from websearchengine_spark.operators.topk import wand_topk_batch
+
+    batch_queries = [
+        f"{a} {b}"
+        for a in ["data", "hash", "merge", "scan", "row", "join", "batch", "query"]
+        for b in ["stream", "window", "table", "column", "filter"]
+    ]  # 40 conjunctive queries
+    with timed("wand_batch_x40"):
+        wand_topk_batch(spark, root, batch_queries, k=10).collect()
+
     with timed("bm25_dataframe"):
         run_query(spark, root, "data stream join", ranker="bm25", k=10).collect()
 
@@ -111,6 +121,7 @@ def main() -> None:
                 "sf": sf,
                 "n_docs": n_docs,
                 "index_build_docs_per_sec": build_docs_per_sec,
+                "batch_queries_per_sec": round(40 / timings["wand_batch_x40"], 2),
             }
         )
     )

@@ -409,6 +409,8 @@ def build_index(
             "build_id": build_id,
             "analyzer": analyzer,
             "avg_dl": avg_dl,
+            "num_docs": int(srow["num_docs"]),
+            "total_tf": int(srow["total_tf"]),
             "phase_timings_sec": phase_t,
         }
     )

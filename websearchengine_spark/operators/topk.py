@@ -150,6 +150,18 @@ def shard_bm25_topk(
     return cand[order], scores[order], stats
 
 
+def _corpus_stats(spark, store: IndexStorage) -> tuple[int, int, float]:
+    """num_docs/total_tf/avg_dl from the manifest (zero Spark jobs) with
+    a stats-table fallback for indexes built before they were recorded."""
+    cfg = store.read_manifest().get("config", {})
+    if "num_docs" in cfg and "total_tf" in cfg:
+        nd, tt = int(cfg["num_docs"]), int(cfg["total_tf"])
+    else:
+        srow = store.read_table(spark, "stats").collect()[0]
+        nd, tt = srow["num_docs"], srow["total_tf"]
+    return nd, tt, tt / max(1, nd)
+
+
 def _rows_to_blocks(blocks) -> list:
     return [
         (
@@ -191,9 +203,7 @@ def wand_topk(
         qweights[w] = qweights.get(w, 0.0) + 1.0
     terms = sorted(qweights)
 
-    srow = store.read_table(spark, "stats").collect()[0]
-    num_docs, total_tf = srow["num_docs"], srow["total_tf"]
-    avg_dl = total_tf / max(1, num_docs)
+    num_docs, total_tf, avg_dl = _corpus_stats(spark, store)
     ts = (
         store.read_table(spark, "term_stats")
         .filter(F.col("term").isin(terms))
@@ -227,5 +237,150 @@ def wand_topk(
         .join(docs, "doc_id")
         .select(*RESULT_COLS)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    return out
+
+
+def shard_bm25_topk_batch(
+    term_lists: dict[str, list],
+    query_specs: list[tuple[int, dict[str, float]]],
+    idf: dict[str, float],
+    avg_dl: float,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch kernel for ONE shard: score MANY queries against the shard's
+    posting blocks, decoding each term exactly once (throughput mode —
+    decode amortization replaces per-query block skipping).
+
+    ``query_specs``: [(query_id, {term: weight})...].  Returns parallel
+    arrays (query_ids, doc_ids, scores) of per-query top-k."""
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def get(t: str):
+        if t not in decoded:
+            d, tf, dl, _ = decode_posting_blocks(
+                term_lists[t], want_positions=False, want_doclens=True
+            )
+            decoded[t] = (d, tf, dl)
+        return decoded[t]
+
+    out_q, out_d, out_s = [], [], []
+    for qid, qweights in query_specs:
+        terms = [t for t in sorted(qweights) if t in term_lists]
+        if len(terms) < len(qweights):
+            continue
+        terms.sort(key=lambda t: get(t)[0].size)
+        cand = get(terms[0])[0]
+        for t in terms[1:]:
+            if cand.size == 0:
+                break
+            cand = cand[np.isin(cand, get(t)[0], assume_unique=True)]
+        if cand.size == 0:
+            continue
+        scores = np.zeros(cand.size)
+        dl_cand = None
+        for t in terms:
+            d, tf, dl = get(t)
+            ix = np.searchsorted(d, cand)
+            tf_c = tf[ix].astype(np.float64)
+            if dl_cand is None:
+                dl_cand = dl[ix].astype(np.float64)
+            scores += (
+                qweights[t]
+                * idf[t]
+                * ((BM25_K1 + 1.0) * tf_c)
+                / (tf_c + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_cand / avg_dl))
+            )
+        if cand.size > k:
+            kth = np.partition(-scores, k - 1)[k - 1]
+            keep = np.flatnonzero(-scores <= kth)
+            cand_k, scores_k = cand[keep], scores[keep]
+        else:
+            cand_k, scores_k = cand, scores
+        order = np.lexsort((cand_k, -scores_k))[:k]
+        out_q.append(np.full(order.size, qid, dtype=np.int64))
+        out_d.append(cand_k[order])
+        out_s.append(scores_k[order])
+    if not out_q:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, np.float64)
+    return np.concatenate(out_q), np.concatenate(out_d), np.concatenate(out_s)
+
+
+def wand_topk_batch(
+    spark: SparkSession,
+    index_root: str,
+    queries: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k for MANY queries in one job: postings for the union of
+    all query terms are scanned once; each shard task scores every query
+    (decode shared across queries); per-query global merge via a ranking
+    window.  Returns (query, doc_id, url, title, score, pagerank,
+    numviews, rank) ordered by (query, rank).
+
+    Phrase queries are not supported in batch mode (use run_query)."""
+    store = IndexStorage(index_root)
+    analyzer = index_analyzer(store)
+    docs = store.read_table(spark, "docs")
+
+    specs: list[tuple[int, dict[str, float]]] = []
+    for qid, q in enumerate(queries):
+        token_words = analyze_tokens(parse_query(q), analyzer)
+        words = [w for ws in token_words for w in ws]
+        qw: dict[str, float] = {}
+        for w in words:
+            qw[w] = qw.get(w, 0.0) + 1.0
+        if qw:
+            specs.append((qid, qw))
+    all_terms = sorted({t for _, qw in specs for t in qw})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query string, doc_id long, url string, title string, "
+            "score double, pagerank double, numviews long, rank int"
+        )
+
+    num_docs, total_tf, avg_dl = _corpus_stats(spark, store)
+    ts = store.read_table(spark, "term_stats").filter(F.col("term").isin(all_terms)).collect()
+    df_by_term = {r["term"]: r["df"] for r in ts}
+    idf = {
+        t: math.log((num_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for t, df in df_by_term.items()
+    }
+    # queries with a term absent from the corpus can never match
+    specs = [(qid, qw) for qid, qw in specs if all(t in df_by_term for t in qw)]
+    if not specs:
+        return spark.createDataFrame(
+            [], "query string, doc_id long, url string, title string, "
+            "score double, pagerank double, numviews long, rank int"
+        )
+
+    postings = store.read_partitioned(spark, "postings").filter(
+        F.col("term").isin(all_terms)
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_lists = {t: _rows_to_blocks(b) for t, b in zip(pdf["term"], pdf["blocks"])}
+        q, d, s = shard_bm25_topk_batch(term_lists, specs, idf, avg_dl, k)
+        return pd.DataFrame({"qid": q, "doc_id": d, "score": s})
+
+    per_shard = postings.select("shard", "term", "blocks").groupBy("shard").applyInPandas(
+        kernel, schema="qid long, doc_id long, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    qnames = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)], "qid long, query string"
+    )
+    out = (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(qnames), "qid")
+        .join(docs, "doc_id")
+        .select(
+            "query", "doc_id", "url", "title", "score", "pagerank", "numviews", "rank"
+        )
+        .orderBy("query", "rank")
     )
     return out

@@ -353,3 +353,21 @@ def run_query(
         .limit(k)
     )
     return out
+
+
+def search(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    ranker: str = "comprehensive",
+    k: int = 10,
+) -> DataFrame:
+    """The engine's front door: routes BM25 plain queries to the
+    block-max WAND kernel and everything else (phrase queries, the
+    reference scorers) through the DataFrame path.  Same result either
+    way — the routing is purely physical."""
+    if ranker == "bm25":
+        from websearchengine_spark.operators.topk import wand_topk
+
+        return wand_topk(spark, index_root, query, k=k)
+    return run_query(spark, index_root, query, ranker=ranker, k=k)

@@ -146,3 +146,18 @@ def test_distributed_generation_matches_local(spark, corpus_pdf):
     assert sdf["url"].tolist() == local["url"].tolist()
     assert sdf["text"].tolist() == local["text"].tolist()
     assert [bytes(x) for x in sdf["html"]] == [bytes(x) for x in local["html"]]
+
+
+def test_skew_report(spark, store):
+    from websearchengine_spark.sources.storage import skew_report
+
+    rep = skew_report(store, spark)
+    assert rep["n_shards"] == 3
+    assert rep["head_terms"], "head terms present"
+    # doc-sharding bound: no term's per-shard list exceeds the shard's
+    # doc capacity ceil(num_docs/n_shards)
+    assert rep["shard_doc_cap"] == 67
+    assert all(h["bound_ok"] for h in rep["head_terms"])
+    # super-head terms ('the', 'of', 'and') are in >90% of docs
+    heads = {h["term"] for h in rep["head_terms"]}
+    assert {"the", "of", "and"} & heads

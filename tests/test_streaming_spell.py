@@ -167,3 +167,13 @@ def test_next_word_suggestions(spark, spell_index, oracle_index):
                 want[nxt] += 1
     top = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
     assert got == top
+
+
+def test_history_suggestions(spark, click_source):
+    from websearchengine_spark.streaming.clicklog import CLICK_SCHEMA, history_suggestions
+
+    clicks = spark.read.schema(CLICK_SCHEMA).json(click_source)
+    got = [(r["query"], r["n"]) for r in history_suggestions(clicks, "GOOGLE").collect()]
+    assert got[0] == ("google", 4)
+    assert ("google map", 2) in got
+    assert all("google" in q for q, _ in got)

@@ -136,3 +136,49 @@ class IndexStorage:
         return spark.read.option("basePath", self.table_path(name)).parquet(
             self.table_path(name)
         )
+
+
+def skew_report(store: "IndexStorage", spark) -> dict:
+    """Head-term skew report from the postings table + manifest metrics.
+
+    Doc-sharding bounds any term's per-task posting list at
+    ceil(df / n_shards); this report shows the realized bound so skew
+    regressions are visible per build (north_rule: skew handled
+    explicitly, metrics recorded)."""
+    from pyspark.sql import functions as F
+
+    m = store.read_manifest()
+    p = store.read_partitioned(spark, "postings")
+    head = (
+        p.groupBy("term")
+        .agg(F.sum("df_shard").alias("df"), F.max("df_shard").alias("max_shard_df"))
+        .orderBy(F.desc("df"))
+        .limit(10)
+        .collect()
+    )
+    cfg = m.get("config", {})
+    n_shards = cfg.get("n_shards")
+    num_docs = cfg.get("num_docs")
+    # the structural bound: a shard holds at most ceil(num_docs/n_shards)
+    # docs, so no term's per-shard list can exceed that regardless of df
+    shard_cap = (
+        (num_docs + n_shards - 1) // n_shards
+        if (n_shards and num_docs is not None)
+        else None
+    )
+    return {
+        "n_shards": n_shards,
+        "shard_doc_cap": shard_cap,
+        "per_group_max_term_postings": {
+            g: v.get("max_term_postings") for g, v in m.get("group_metrics", {}).items()
+        },
+        "head_terms": [
+            {
+                "term": r["term"],
+                "df": r["df"],
+                "max_shard_df": r["max_shard_df"],
+                "bound_ok": shard_cap is None or r["max_shard_df"] <= shard_cap,
+            }
+            for r in head
+        ],
+    }

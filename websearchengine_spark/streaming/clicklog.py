@@ -124,3 +124,18 @@ def pmi_suggestions(clicks: DataFrame, top_n: int = 3) -> DataFrame:
         .filter(F.col("rn") <= top_n)
         .select("q1", "q2", F.round("pmi", 9).alias("pmi"), "rn")
     )
+
+
+def history_suggestions(clicks: DataFrame, query: str, top_n: int = 10) -> DataFrame:
+    """Serve-time history match (querySearch 'history' branch,
+    IndexerInvertedOccurrence.java:830-840): distinct past queries whose
+    text case-insensitively CONTAINS the current query, most frequent
+    first."""
+    q = query.lower()
+    return (
+        clicks.filter(F.lower(F.col("query")).contains(q))
+        .groupBy("query")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("query"))
+        .limit(top_n)
+    )

@@ -119,8 +119,11 @@ def q_corpus_stats(spark, sf_dir):
 
 
 SQL_CORPUS_STATS = (
+    # CAST: DuckDB sum(BIGINT) yields HUGEINT, which the driver's value hash
+    # renders differently from Spark's BIGINT even when values are equal.
     "WITH dl AS (" + SQL_DOC_LEN + ") SELECT count(*) AS num_docs,"
-    " sum(doc_len) AS total_tf, round(avg(doc_len), 6) AS avg_dl FROM dl"
+    " CAST(sum(doc_len) AS BIGINT) AS total_tf,"
+    " round(avg(doc_len), 6) AS avg_dl FROM dl"
 )
 
 
@@ -190,7 +193,7 @@ def q_bm25_topk(spark, sf_dir):
 SQL_BM25_TOPK = (
     _TOKS_CTE
     + f""",
- dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+ dl AS ({SQL_DOC_LEN}),
  st AS (SELECT count(*) AS n, avg(doc_len) AS avg_dl FROM dl),
  tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
         WHERE term IN ('data','stream','join') GROUP BY doc_id, term),
@@ -745,16 +748,18 @@ def q_ann_cosine(spark, sf_dir):
     norm = lambda c: F.sqrt(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # Integer micro-cosine: CAST(double AS BIGINT) truncates in Spark but
+    # rounds in DuckDB, so round(x*1e6) explicitly on both sides first —
+    # the driver's value hash then compares exact integers, immune to
+    # float formatting.
+    cos = dot / (norm(F.col("embedding").cast("array<double>")) * norm(qlit))
     return (
         emb.filter(F.col("vec_id") != 0)
         .select(
             "vec_id",
-            F.round(
-                dot / (norm(F.col("embedding").cast("array<double>")) * norm(qlit)),
-                6,
-            ).alias("cosine"),
+            F.round(cos * 1e6, 0).cast("long").alias("cosine_e6"),
         )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .orderBy(F.desc("cosine_e6"), F.asc("vec_id"))
         .limit(20)
     )
 
@@ -762,11 +767,12 @@ def q_ann_cosine(spark, sf_dir):
 SQL_ANN_COSINE = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
-       round(list_dot_product(e.embedding, q.qv)
+       CAST(round(list_dot_product(e.embedding, q.qv)
              / (sqrt(list_dot_product(e.embedding, e.embedding))
-                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+                * sqrt(list_dot_product(q.qv, q.qv))) * 1e6, 0) AS BIGINT)
+           AS cosine_e6
 FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
-ORDER BY cosine DESC, vec_id LIMIT 20"""
+ORDER BY cosine_e6 DESC, vec_id LIMIT 20"""
 
 
 def q_lsh_buckets(spark, sf_dir):
@@ -949,11 +955,19 @@ def q_events_sessionize(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Fractional-epoch comparison: the events data carries microsecond
+    # precision, and unix_timestamp() truncates to whole seconds — a gap in
+    # (1800.0, 1801.0) would split a session on one side only vs the
+    # oracle's epoch().
     gaps = e.withColumn("prev", F.lag("ts").over(w)).withColumn(
         "new_sess",
         F.when(
             F.col("prev").isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800),
+            | (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("prev").cast("timestamp").cast("double")
+                > 1800.0
+            ),
             1,
         ).otherwise(0),
     )
@@ -971,7 +985,8 @@ WITH g AS (
               IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
               ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_sess
   FROM events)
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id"""
 
 
@@ -1020,9 +1035,16 @@ def q_bm25_index_path(spark, sf_dir):
     """
     from websearchengine_spark.operators.topk import wand_topk
 
+    # Fetch extra then re-sort on the ROUNDED score + doc_id so the ordering
+    # key matches the oracle exactly: two near-tied docs at the k boundary
+    # can round equal, and the oracle breaks that tie by doc_id.
     root = _index_for(spark, sf_dir)
-    out = wand_topk(spark, root, " ".join(QUERY_TERMS), k=20)
-    return out.select("doc_id", F.round("score", 6).alias("score"))
+    out = wand_topk(spark, root, " ".join(QUERY_TERMS), k=40)
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
 
 
 SQL_BM25_INDEX_PATH = SQL_BM25_TOPK  # identical semantics by construction

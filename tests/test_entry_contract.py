@@ -16,14 +16,19 @@ TABLES = [
 
 
 def _duck(sql: str):
-    """Returns (columns, rows); connection stays alive until fetch ends."""
+    """Returns (columns, rows), fetched through pandas — the same path the
+    driver uses, so DuckDB HUGEINT surfaces as float64 here exactly as it
+    does at the real gate (fetchall() would mask it as Python int)."""
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    rel = con.sql(sql)
-    cols = list(rel.columns)
-    rows = rel.fetchall()
+    pdf = con.sql(sql).df()
     con.close()
+    cols = list(pdf.columns)
+    rows = [
+        tuple(v.item() if hasattr(v, "item") else v for v in rec)
+        for rec in pdf.itertuples(index=False, name=None)
+    ]
     return cols, rows
 
 
@@ -71,7 +76,14 @@ def _compare(spark, fn, sql, name):
     want = _normalize(drows, dcols)
     for i, (g, w) in enumerate(zip(got, want)):
         for a, b in zip(g, w):
-            if isinstance(a, float) and isinstance(b, float):
+            # Type-strict: the driver hashes FORMATTED values, so a DuckDB
+            # HUGEINT surfacing as 58.0 against Spark's BIGINT 58 is a
+            # hash-amber even when numerically equal.  int-vs-float is a
+            # failure here, not a tolerance case.
+            if isinstance(a, float) or isinstance(b, float):
+                assert isinstance(a, float) and isinstance(b, float), (
+                    name, i, "int/float type mismatch", g, w,
+                )
                 assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-6), (name, i, g, w)
             else:
                 assert str(a) == str(b), (name, i, g, w)

@@ -19,6 +19,7 @@ layout — the index is internal state, so the format is ours to define
   where ``data`` is ONE varbyte stream holding, in order:
       n doc-gaps   (gap[0] = docid[0] - first_docid == 0, then deltas)
       n tfs
+      n doc-lengths (rides the block so BM25 needs no doc-table join)
       sum(tf) position-deltas (per doc: pos[0], then deltas)
 
 Blocks carry ``last_docid`` (skip pointer) and ``max_tf`` (score upper

@@ -417,4 +417,6 @@ def build_index(
     analyzed.unpersist()
     if _prev_batch is not None:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", _prev_batch)
+    else:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     return store

@@ -304,6 +304,22 @@ def score_bm25(cand, matches, docs, term_stats, token_words, total_tf, num_docs,
 
 RESULT_COLS = ["doc_id", "url", "title", "score", "pagerank", "numviews"]
 
+# The returned DataFrame is lazy (callers and the plan audit rely on the
+# unexecuted plan), so matches can't be unpersisted inside run_query.
+# Instead each call evicts the previous call's cached matches — a
+# long-lived session holds at most ONE query's posting cache.
+_LIVE_MATCHES: list = []
+
+
+def _swap_cached_matches(new_df) -> None:
+    while _LIVE_MATCHES:
+        try:
+            _LIVE_MATCHES.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    if new_df is not None:
+        _LIVE_MATCHES.append(new_df)
+
 
 def run_query(
     spark: SparkSession,
@@ -330,6 +346,7 @@ def run_query(
 
     matches = load_postings_for_terms(spark, store, distinct_terms, want_positions=need_pos)
     matches = matches.persist()
+    _swap_cached_matches(matches)
     cand = conjunctive_candidates(matches, token_words, with_positions=need_pos)
     matches_tf = matches.select("doc_id", "term", "tf")
 

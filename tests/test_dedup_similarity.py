@@ -197,3 +197,107 @@ def test_multimodal_feature_plumbing(spark, docs_with_dups):
     # deterministic: same payload -> same features
     again = extract_features(assets).collect()
     assert sorted(map(repr, feats)) == sorted(map(repr, again))
+
+
+# --------------------------------------------------------------------------
+# SimHash hamming<=k band join (round 2)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def near_docs(spark):
+    """Docs designed to land at SMALL simhash hamming distances: a long
+    shared base plus one varying token, so signs flip on few bits."""
+    base = (
+        "data stream processing engines shuffle partition join aggregate "
+        "window watermark state checkpoint broadcast skew salt codegen "
+        "parquet pushdown prune vectorized arrow batch executor task stage"
+    )
+    extras = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+              "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    rows = [(i, base + " " + extras[i % len(extras)] + (" " + extras[(i * 7) % len(extras)] if i % 3 else ""))
+            for i in range(36)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_hamming_pairs(sims: dict, k: int):
+    ids = sorted(sims)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sims[a] ^ sims[b]).count("1") <= k:
+                out.add((a, b))
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_simhash_hamming_k_matches_brute_force(spark, near_docs, k):
+    from websearchengine_spark.operators.dedup import simhash, simhash_duplicate_pairs
+
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(near_docs).collect()}
+    want = _brute_hamming_pairs(sims, k)
+    got_rows = simhash_duplicate_pairs(near_docs, max_hamming=k).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert got == want
+    # reported hamming is the true popcount of the XOR
+    for r in got_rows:
+        assert r["hamming"] == bin(sims[r["doc_a"]] ^ sims[r["doc_b"]]).count("1")
+    # the fixture must exercise the NON-identical case (hamming in [1, k])
+    nonzero = {(a, b) for (a, b) in want if sims[a] != sims[b]}
+    assert nonzero, "fixture produced no planted near-pair; test is vacuous"
+    assert nonzero <= got
+
+
+def test_simhash_hamming0_unchanged(spark, docs_with_dups):
+    from websearchengine_spark.operators.dedup import simhash_duplicate_pairs
+
+    p0 = {(r["doc_a"], r["doc_b"]) for r in simhash_duplicate_pairs(docs_with_dups).collect()}
+    pk = {(r["doc_a"], r["doc_b"]) for r in simhash_duplicate_pairs(docs_with_dups, max_hamming=2).collect()}
+    assert p0 <= pk  # banded join is a superset of the exact-key join
+
+
+# --------------------------------------------------------------------------
+# IVF persisted index: partition-pruned probes (round 2)
+# --------------------------------------------------------------------------
+
+def test_ivf_indexed_matches_brute_force(spark, emb_df, tmp_path):
+    from websearchengine_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build_centroids,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    q = emb_df.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    cents = ivf_build_centroids(emb_df, nlist=4)
+    path = str(tmp_path / "ivf_idx")
+    ivf_write_index(emb_df, cents, path)
+
+    full = [(r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_topk_indexed(spark, path, cents, q, k=5, nprobe=4).collect()]
+    brute = [(r["vec_id"], round(r["cosine"], 9)) for r in cosine_topk(emb_df, q, k=5).collect()]
+    assert full == brute
+
+
+def test_ivf_probe_is_partition_pruned(spark, emb_df, tmp_path):
+    """A probe must touch ONLY the nprobe list_id partitions on disk."""
+    from websearchengine_spark.operators.similarity import (
+        _probe_lists,
+        ivf_build_centroids,
+        ivf_write_index,
+    )
+
+    q = emb_df.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    cents = ivf_build_centroids(emb_df, nlist=4)
+    path = str(tmp_path / "ivf_idx")
+    ivf_write_index(emb_df, cents, path)
+
+    probe = _probe_lists(cents, q, nprobe=1)
+    assert len(probe) == 1
+    pruned = spark.read.parquet(path).filter(F.col("list_id").isin(probe))
+    files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert files, "probe read no files"
+    for f in files:
+        assert f"list_id={probe[0]}" in f, f"non-probed partition read: {f}"
+    # and the physical plan carries the partition filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan

@@ -177,3 +177,25 @@ def test_history_suggestions(spark, click_source):
     assert got[0] == ("google", 4)
     assert ("google map", 2) in got
     assert all("google" in q for q, _ in got)
+
+
+def test_page_summary_first_50_terms(spark, spell_index, corpus_pdf):
+    """/page_summary: first <=50 position-ordered terms of one doc
+    (QueryHandler.java:365-376) vs the trivial oracle."""
+    from websearchengine_spark.functions.analyze import analyze_text
+    from websearchengine_spark.operators.query import page_summary
+    from websearchengine_spark.sources.storage import IndexStorage
+
+    store = IndexStorage(spell_index)
+    docs = {r["url"]: r["doc_id"] for r in store.read_table(spark, "docs").collect()}
+    # oracle: analyzer output of the raw page, truncated at 50
+    row = corpus_pdf.iloc[7]
+    want_terms = analyze_text(row.get("text") or "")[:50]
+    did = docs[row["url"]]
+
+    got = page_summary(spark, spell_index, did, n_terms=50).collect()
+    assert [r["term"] for r in got] == want_terms
+    assert [r["pos"] for r in got] == list(range(len(want_terms)))
+
+    # a doc with fewer than 50 terms returns them all; bogus id -> empty
+    assert page_summary(spark, spell_index, -1).count() == 0

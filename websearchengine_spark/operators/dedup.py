@@ -177,19 +177,75 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     )
 
 
-def simhash_duplicate_pairs(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """Candidate near-dup pairs with IDENTICAL simhash (hamming 0 join).
+def simhash_duplicate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 0,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    A hamming<=k join would rotate bit-bands; identical-key equality is
-    the exact-collision base case and a plain hash join.
+    max_hamming=0 is a plain equality hash join on the full key.  For
+    k>0 the key is split into k+1 bit-bands: if two keys differ in at
+    most k bits then, by pigeonhole, at least one band is bit-identical
+    — so candidates are the union of k+1 equality joins on
+    (band_id, band_bits), then verified with an exact popcount on the
+    XOR.  Every stage is an equi-join/aggregation; no all-pairs work,
+    so the shape survives 10^9 docs (each doc emits k+1 band rows).
     """
     s = simhash(docs, text_col, bits)
-    a = s.select(F.col("doc_id").alias("doc_a"), "simhash")
-    b = s.select(F.col("doc_id").alias("doc_b"), "simhash")
+    if max_hamming == 0:
+        a = s.select(F.col("doc_id").alias("doc_a"), "simhash")
+        b = s.select(F.col("doc_id").alias("doc_b"), "simhash")
+        return (
+            a.join(b, "simhash")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "simhash")
+        )
+
+    n_bands = max_hamming + 1
+    # band i covers bit positions [floor(i*bits/n_bands), floor((i+1)*bits/n_bands))
+    bounds = [(i * bits) // n_bands for i in range(n_bands + 1)]
+    band_cols = []
+    for i in range(n_bands):
+        lo, hi = bounds[i], bounds[i + 1]
+        width = hi - lo
+        band_cols.append(
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftrightunsigned(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_bits"),
+            )
+        )
+    banded = s.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "simhash", "band.band_id", "band.band_bits")
+
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band_id",
+        "band_bits",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band_id",
+        "band_bits",
+    )
     return (
-        a.join(b, "simhash")
+        a.join(b, ["band_id", "band_bits"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "simhash")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

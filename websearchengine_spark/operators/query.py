@@ -388,3 +388,25 @@ def search(
 
         return wand_topk(spark, index_root, query, k=k)
     return run_query(spark, index_root, query, ranker=ranker, k=k)
+
+
+def page_summary(
+    spark: SparkSession, index_root: str, doc_id: int, n_terms: int = 50
+) -> DataFrame:
+    """The result-page snippet: first ``n_terms`` position-ordered terms
+    of one document (/page_summary, QueryHandler.java:365-376 — the
+    reference walks the positional cache and stops at 50 terms).
+
+    Reads the ``doc_tokens`` positional forward index
+    (``build_index(keep_doc_tokens=True)``); one row per position:
+    (pos, term), pos 0-based ascending.
+    """
+    store = IndexStorage(index_root)
+    doc_tokens = store.read_table(spark, "doc_tokens")
+    return (
+        doc_tokens.filter(F.col("doc_id") == doc_id)
+        .select(
+            F.posexplode(F.slice("tokens", 1, n_terms)).alias("pos", "term")
+        )
+        .orderBy("pos")
+    )

@@ -8,12 +8,15 @@ Python.
 
 Scale notes: brute force is O(N) per query but embarrassingly parallel
 and shuffle-free (a scan + TakeOrderedAndProject); IVF cuts the scanned
-fraction to nprobe/nlist with a broadcast of the (tiny) centroid set.
+fraction to nprobe/nlist ONLY when the assignment is computed once and
+persisted partitioned by ``list_id`` (``ivf_write_index``) — a query
+then partition-prunes to the nprobe lists it probes.  Assigning at
+query time would re-scan 100% of the vectors per query.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -117,6 +120,54 @@ def ivf_assign(
     )
 
 
+def _probe_lists(centroids: list[list[float]], query_vec: list[float], nprobe: int) -> list[int]:
+    """The nprobe centroid ids closest to the query (dot product, ties by id)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    sims = [float(np.dot(q, np.asarray(c))) for c in centroids]
+    return sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:nprobe]
+
+
+def ivf_write_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign ONCE and persist partitioned by ``list_id``.
+
+    This is the index-build step: one full scan total, amortized over
+    every subsequent query.  The partitioned layout is what lets
+    ``ivf_topk_indexed`` touch only nprobe/nlist of the files."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    (
+        emb.join(assigned, id_col)
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a persisted index: the ``list_id IN probe`` filter
+    is a PARTITION filter on the parquet layout, so the scan reads only
+    the nprobe probed lists — nprobe/nlist of the data, per query."""
+    probe = _probe_lists(centroids, query_vec, nprobe)
+    subset = spark.read.parquet(index_path).filter(F.col("list_id").isin(probe))
+    return cosine_topk(subset, query_vec, k, id_col, vec_col)
+
+
 def ivf_topk(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -125,14 +176,17 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF search: rank centroids vs the query, scan only the nprobe
-    closest lists, exact cosine within them."""
-    import numpy as np
+    """IVF search against an in-memory DataFrame.
 
-    q = np.asarray(query_vec, dtype=float)
-    sims = [float(np.dot(q, np.asarray(c))) for c in centroids]
-    probe = sorted(range(len(centroids)), key=lambda i: -sims[i])[:nprobe]
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    Pass ``assigned`` (the cached/persisted output of ``ivf_assign``) to
+    avoid recomputing nearest-centroid for every vector on every query.
+    Without it this is a one-off convenience that scans the full table —
+    use ``ivf_write_index`` + ``ivf_topk_indexed`` for the scale path
+    (partition-pruned reads)."""
+    probe = _probe_lists(centroids, query_vec, nprobe)
+    if assigned is None:
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
     subset = emb.join(assigned.filter(F.col("list_id").isin(probe)), id_col)
     return cosine_topk(subset, query_vec, k, id_col, vec_col)

@@ -161,3 +161,55 @@ def test_skew_report(spark, store):
     # super-head terms ('the', 'of', 'and') are in >90% of docs
     heads = {h["term"] for h in rep["head_terms"]}
     assert {"the", "of", "and"} & heads
+
+
+# --------------------------------------------------------------------------
+# Positionless (doconly-style) build flag — round 2
+# --------------------------------------------------------------------------
+
+def _postings_bytes(root: str) -> int:
+    import pathlib
+
+    return sum(
+        f.stat().st_size
+        for f in pathlib.Path(root, "postings").rglob("*.parquet")
+    )
+
+
+def test_positionless_build_smaller_and_rank_identical(
+    spark, corpus_pdf, oracle_index, tmp_path_factory
+):
+    import pytest as _pytest
+
+    from websearchengine_spark.operators.build import build_index
+    from websearchengine_spark.operators.topk import wand_topk
+
+    pages = spark.createDataFrame(corpus_pdf)
+    root_pos = str(tmp_path_factory.mktemp("idx_pos"))
+    root_nopos = str(tmp_path_factory.mktemp("idx_nopos"))
+    build_index(spark, pages, root_pos, n_shards=3, n_groups=2)
+    build_index(spark, pages, root_nopos, n_shards=3, n_groups=2, positions=False)
+
+    # doconly blocks drop the position stream -> materially smaller index.
+    # At this 200-doc fixture tf~1 so positions are ~1 of 4 varbytes per
+    # occurrence (~25% of the stream); on real text (tf>1, multi-byte
+    # position deltas) the savings approach the reference's 2-3x.
+    b_pos, b_nopos = _postings_bytes(root_pos), _postings_bytes(root_nopos)
+    assert b_nopos < 0.85 * b_pos, (b_nopos, b_pos)
+
+    # plain conjunctive BM25 is rank-identical to the oracle
+    for q in ("web search", "google map"):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(spark, root_nopos, q, k=10).collect()
+        ]
+        want = oracle_index.bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, s1), (_, s2) in zip(got, want):
+            assert abs(s1 - s2) < 1e-9
+
+    # phrase queries need positions -> clear error, not silent garbage
+    from websearchengine_spark.operators.query import run_query
+
+    with _pytest.raises(ValueError, match="positionless"):
+        run_query(spark, root_nopos, '"data mining"', ranker="bm25", k=5).collect()

@@ -301,3 +301,34 @@ def test_ivf_probe_is_partition_pruned(spark, emb_df, tmp_path):
     # and the physical plan carries the partition filter
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_multimodal_real_decoder_seam(spark, docs_with_dups):
+    """Round 2: prove the real-decoder swap-in point works — inject a
+    deterministic 'real' decoder through the extract_features seam and
+    verify the executor-side pipeline flows through it."""
+    import numpy as np
+
+    from websearchengine_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        make_assets,
+    )
+
+    def fake_real_decoder(payload: bytes):
+        # constant-size 6x6 solid image whose value is len(payload) % 256
+        v = len(payload) % 256
+        return np.full((6, 6, 3), v, dtype=np.uint8)
+
+    assets = make_assets(docs_with_dups.limit(6))
+    rows = extract_features(assets, image_decoder=fake_real_decoder).collect()
+    assert len(rows) == 6
+    for r in rows:
+        # stub decoder yields 4..7 px sides; the injected one is always 6
+        assert (r["height"], r["width"]) == (6, 6), r
+        assert len(r["features"]) == FEATURE_DIM
+        if r["modality"] in ("image", "audio"):
+            # solid image -> all 12 grid-cell channel means equal v/255
+            v = r["n_bytes"] % 256
+            got = set(round(x, 9) for x in r["features"][:12])
+            assert got == {round(v / 255.0, 9)}, r

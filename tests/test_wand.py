@@ -104,3 +104,52 @@ def test_kernel_tie_break_doc_id_asc():
     )
     d, s, _ = shard_bm25_topk({"t": same}, {"t": 1.0}, {"t": 1.0}, avg_dl, k=2)
     assert d.tolist() == [3, 7]  # equal scores -> lowest doc_ids win
+
+
+@pytest.fixture(scope="module")
+def fine_block_index(spark, corpus_pdf, tmp_path_factory):
+    """Index with block_size=8: at 200 docs the default 128-doc blocks
+    collapse each shard to 1-2 blocks per term, so every candidate shares
+    the block max and the UB can never separate them — fine blocks give
+    the UB the resolution the default has at real scale."""
+    from websearchengine_spark.operators.build import build_index
+
+    root = str(tmp_path_factory.mktemp("fine_idx"))
+    pages = spark.createDataFrame(corpus_pdf)
+    build_index(spark, pages, root, n_shards=3, n_groups=2, block_size=8)
+    return root
+
+
+def test_serve_path_two_phase_pruning(spark, fine_block_index, oracle_index):
+    """Round 2: the SERVE path itself must prune — phase 1 scores shard 0
+    driver-side, phase 2 broadcasts its k-th score as the UB threshold.
+    Evidence: executor-side accumulator > 0 on a high-df query, with rank
+    identity preserved."""
+    from websearchengine_spark.operators.topk import LAST_WAND_STATS
+
+    # high-df terms at small k -> tight threshold -> real pruning
+    q = "the of"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(spark, fine_block_index, q, k=3).collect()
+    ]
+    want = oracle_index.bm25(q, 3)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+    assert LAST_WAND_STATS["pruned_by_ub"].value > 0, (
+        "two-phase threshold never pruned a candidate on a high-df query"
+    )
+
+
+@pytest.mark.parametrize("query", ["web search", "google map", "the of"])
+def test_two_phase_equals_exhaustive(spark, built_index, query):
+    a = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(spark, built_index, query, k=10, two_phase=True).collect()
+    ]
+    b = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(spark, built_index, query, k=10, two_phase=False).collect()
+    ]
+    assert a == b

@@ -102,7 +102,7 @@ def encode_posting_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     doc_lens: np.ndarray,
-    positions: np.ndarray,
+    positions: np.ndarray | None,
     avg_dl: float,
     block_size: int = BLOCK_SIZE,
 ) -> list[tuple[int, int, int, int, float, bytes]]:
@@ -120,7 +120,11 @@ def encode_posting_blocks(
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     doc_lens = np.asarray(doc_lens, dtype=np.int64)
-    positions = np.asarray(positions, dtype=np.int64)
+    # positions=None -> doconly-style positionless blocks: the data stream
+    # is just [gaps, tfs, dls] (decode with want_positions=False only)
+    with_positions = positions is not None
+    if with_positions:
+        positions = np.asarray(positions, dtype=np.int64)
     m = doc_ids.size
     pos_offsets = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(tfs, out=pos_offsets[1:])
@@ -131,13 +135,16 @@ def encode_posting_blocks(
         d = doc_ids[start:end]
         t = tfs[start:end]
         dl = doc_lens[start:end]
-        p = positions[pos_offsets[start] : pos_offsets[end]]
         gaps = np.diff(d, prepend=d[0])  # gap[0] = 0
-        # per-doc position deltas: pos[0] absolute, then diffs
-        pdelta = np.diff(p, prepend=np.int64(0))
-        starts_of_docs = pos_offsets[start:end] - pos_offsets[start]
-        pdelta[starts_of_docs] = p[starts_of_docs]
-        data = varbyte_encode(np.concatenate([gaps, t, dl, pdelta]))
+        if with_positions:
+            p = positions[pos_offsets[start] : pos_offsets[end]]
+            # per-doc position deltas: pos[0] absolute, then diffs
+            pdelta = np.diff(p, prepend=np.int64(0))
+            starts_of_docs = pos_offsets[start:end] - pos_offsets[start]
+            pdelta[starts_of_docs] = p[starts_of_docs]
+            data = varbyte_encode(np.concatenate([gaps, t, dl, pdelta]))
+        else:
+            data = varbyte_encode(np.concatenate([gaps, t, dl]))
         blocks.append(
             (
                 int(d[0]),

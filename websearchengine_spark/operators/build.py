@@ -183,6 +183,8 @@ def build_index(
     keep_doc_terms: bool = True,
     keep_doc_tokens: bool = False,
     analyzer: str = "reference",
+    block_size: int | None = None,
+    positions: bool = True,
 ) -> IndexStorage:
     """Build the full index at ``index_root``; resumable per shard-group.
 
@@ -190,6 +192,12 @@ def build_index(
     mining pipeline (operators/graph.py), joined into ``docs`` (J4);
     missing urls get pagerank=0.0 / numviews=0 (coalesce, as the
     reference's map lookups default, IndexerInvertedCompressed.java:258-269).
+
+    ``positions=False`` builds a doconly-style index
+    (IndexerInvertedDoconly.java:140-147): posting blocks carry only
+    [gaps, tfs, dls] — ~2-3x smaller, and the position column is dropped
+    from the build shuffle itself.  Plain conjunctive/BM25 queries are
+    unchanged; phrase queries (which need positions) raise ValueError.
     """
     phase_t: dict[str, float] = {}
     _t = [time.time()]
@@ -293,6 +301,10 @@ def build_index(
             (F.col("doc_id") % n_shards) % n_groups == g
         ).withColumn("shard", (F.col("doc_id") % F.lit(n_shards)).cast("int"))
 
+    from websearchengine_spark.functions.codec import BLOCK_SIZE as _DEFAULT_BSZ
+
+    _bsz = block_size if block_size is not None else _DEFAULT_BSZ
+
     def encode_batches(batches):
         # rows: (shard, term, doc_ids[], poss[], dls[]) — the three arrays
         # are parallel, sorted by (doc_id, pos) via sort_array on structs
@@ -312,7 +324,12 @@ def build_index(
                     d, return_index=True, return_counts=True
                 )
                 blocks = encode_posting_blocks(
-                    uniq, counts, dl[starts], p, avg_dl
+                    uniq,
+                    counts,
+                    dl[starts],
+                    p if positions else None,
+                    avg_dl,
+                    block_size=_bsz,
                 )
                 out["shard"].append(int(shard))
                 out["term"].append(term)
@@ -326,15 +343,24 @@ def build_index(
         if g in done:
             continue
         part = group_slice(g)
+        # positionless builds drop the pos column BEFORE the wide shuffle —
+        # the occurrence stream that gets exchanged is one int narrower
+        occ_struct = (
+            F.struct("doc_id", "pos", "doc_len")
+            if positions
+            else F.struct("doc_id", "doc_len")
+        )
         plists = part.groupBy("shard", "term").agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "pos", "doc_len"))
-            ).alias("occ")
+            F.sort_array(F.collect_list(occ_struct)).alias("occ")
         ).select(
             "shard",
             "term",
             F.expr("transform(occ, o -> o.doc_id)").alias("doc_ids"),
-            F.expr("transform(occ, o -> o.pos)").alias("poss"),
+            (
+                F.expr("transform(occ, o -> o.pos)")
+                if positions
+                else F.expr("array()").cast("array<long>")
+            ).alias("poss"),
             F.expr("transform(occ, o -> o.doc_len)").alias("dls"),
         )
         postings = plists.mapInPandas(encode_batches, schema=POSTINGS_SCHEMA)
@@ -411,6 +437,7 @@ def build_index(
             "avg_dl": avg_dl,
             "num_docs": int(srow["num_docs"]),
             "total_tf": int(srow["total_tf"]),
+            "positions": positions,
             "phase_timings_sec": phase_t,
         }
     )

@@ -75,13 +75,28 @@ FEATURES_SCHEMA = (
 )
 
 
-def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def extract_features(
+    assets: DataFrame,
+    batch_hint: int = 1024,
+    image_decoder=None,
+    frame_sampler=None,
+) -> DataFrame:
     """assets -> (asset_id, modality, n_bytes, height, width, features).
 
     One Arrow pass; payload bytes never leave the executor.  Video
     payloads get frame-sampled first (``sample_frames``) and average the
     per-frame features.
+
+    ``image_decoder``/``frame_sampler`` are the REAL-DECODER SEAM: pass
+    a callable (payload -> HxWxC array / payload -> list of arrays) to
+    replace the stubs.  They must be passed here (not monkey-patched on
+    the module) because the UDF closure is what ships to executors — a
+    module global set on the driver never reaches the workers.
     """
+    dec = image_decoder if image_decoder is not None else decode_image
+    sampler = frame_sampler if frame_sampler is not None else (
+        lambda payload, n_frames=3: sample_frames(payload, n_frames, decoder=dec)
+    )
 
     def run(batches):
         for pdf in batches:
@@ -94,11 +109,11 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
             ):
                 payload = bytes(payload)
                 if modality == "video":
-                    frames = sample_frames(payload, n_frames=3)
+                    frames = sampler(payload, n_frames=3)
                     feats = np.mean([image_features(f) for f in frames], axis=0)
                     h, w = frames[0].shape[:2]
                 elif modality in ("image", "audio"):
-                    img = decode_image(payload)
+                    img = dec(payload)
                     feats = image_features(img)
                     h, w = img.shape[:2]
                 else:
@@ -117,13 +132,17 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
     )
 
 
-def sample_frames(payload: bytes, n_frames: int = 3) -> list[np.ndarray]:
+def sample_frames(
+    payload: bytes, n_frames: int = 3, decoder=None
+) -> list[np.ndarray]:
     """Frame sampling STUB: derives n deterministic pseudo-frames from
     payload slices (a real implementation seeks the container's
-    keyframes)."""
+    keyframes).  ``decoder`` decodes each frame slice (defaults to the
+    stub ``decode_image``)."""
+    dec = decoder if decoder is not None else decode_image
     step = max(1, len(payload) // n_frames)
     return [
-        decode_image(payload[i * step : (i + 1) * step] or b"\x00")
+        dec(payload[i * step : (i + 1) * step] or b"\x00")
         for i in range(n_frames)
     ]
 

@@ -117,6 +117,13 @@ def load_postings_for_terms(
     pass.  Output is doc-sharded exactly like the index, so downstream
     groupBy(doc_id) shuffles only matched rows.
     """
+    if want_positions and not store.read_manifest().get("config", {}).get(
+        "positions", True
+    ):
+        raise ValueError(
+            "this index was built positionless (positions=False, doconly-"
+            "style); phrase/positional queries need a positional build"
+        )
     postings = store.read_partitioned(spark, "postings").filter(
         F.col("term").isin(list(terms))
     )

@@ -176,13 +176,35 @@ def _rows_to_blocks(blocks) -> list:
     ]
 
 
+# Safety margin subtracted from the phase-1 threshold: the per-doc UB is a
+# float sum of per-term maxima, so without a margin a doc whose exact score
+# TIES the threshold could be pruned by last-ulp noise and break the pinned
+# (score desc, doc_id asc) tie-break.  Dropped docs then satisfy
+# score <= ub <= t0 - eps < t0 <= global k-th score: provably outside top-k.
+WAND_PRUNE_EPS = 1e-9
+
+# Executor-side pruning evidence for the LAST wand_topk action: accumulators
+# populated by the shard kernel (read .value after the query ran).
+LAST_WAND_STATS: dict = {}
+
+
 def wand_topk(
     spark: SparkSession,
     index_root: str,
     query: str,
     k: int = 10,
+    two_phase: bool = True,
 ) -> DataFrame:
     """BM25 top-k over the sharded index via the block-max kernel.
+
+    Two-phase block-max pruning (``two_phase=True``): phase 1 scores ONE
+    shard's postings driver-side (shards are doc_id % n_shards, so any
+    shard is a uniform sample; its blocks for the query terms are a few
+    MB even at 10^10 docs / 4096 shards) and takes its k-th score as a
+    global threshold; phase 2 broadcasts that threshold into every other
+    shard's kernel, where candidates whose block-max upper bound cannot
+    reach it are dropped BEFORE exact scoring.  The final top-k is
+    provably identical to the exhaustive run (see WAND_PRUNE_EPS).
 
     Returns the same columns as query.run_query, ordered by
     (score desc, doc_id asc)."""
@@ -221,16 +243,59 @@ def wand_topk(
         F.col("term").isin(terms)
     )
 
+    sc = spark.sparkContext
+    acc = {
+        "pruned_by_ub": sc.accumulator(0),
+        "blocks_decoded": sc.accumulator(0),
+        "blocks_total": sc.accumulator(0),
+        "candidates": sc.accumulator(0),
+    }
+    LAST_WAND_STATS.clear()
+    LAST_WAND_STATS.update(acc)
+
+    # ---- phase 1: one shard scored driver-side -> running threshold ----
+    threshold = -math.inf
+    phase1_out: list[tuple[int, float]] = []
+    phase1_shard = None
+    if two_phase:
+        phase1_shard = 0
+        rows0 = (
+            postings.filter(F.col("shard") == phase1_shard)
+            .select("term", "blocks")
+            .collect()
+        )
+        if rows0:
+            term_lists0 = {r["term"]: _rows_to_blocks(r["blocks"]) for r in rows0}
+            d0, s0, _st0 = shard_bm25_topk(term_lists0, qweights, idf, avg_dl, k)
+            phase1_out = [(int(d), float(s)) for d, s in zip(d0, s0)]
+            if d0.size >= k:
+                threshold = float(s0[k - 1]) - WAND_PRUNE_EPS
+
+    thr = threshold  # captured by value in the kernel closure
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         term_lists = {
             t: _rows_to_blocks(b) for t, b in zip(pdf["term"], pdf["blocks"])
         }
-        d, s, _stats = shard_bm25_topk(term_lists, qweights, idf, avg_dl, k)
+        d, s, stats = shard_bm25_topk(
+            term_lists, qweights, idf, avg_dl, k, threshold=thr
+        )
+        for key in ("pruned_by_ub", "blocks_decoded", "blocks_total", "candidates"):
+            acc[key].add(stats[key])
         return pd.DataFrame({"doc_id": d, "score": s})
 
-    per_shard = postings.select("shard", "term", "blocks").groupBy("shard").applyInPandas(
+    rest = postings
+    if phase1_shard is not None:
+        rest = rest.filter(F.col("shard") != phase1_shard)
+    per_shard = rest.select("shard", "term", "blocks").groupBy("shard").applyInPandas(
         kernel, schema="doc_id long, score double"
     )
+    if phase1_out:
+        p1 = spark.createDataFrame(phase1_out, "doc_id long, score double")
+        per_shard = per_shard.unionByName(p1)
+    elif phase1_shard is not None:
+        # shard 0 had no candidates; nothing to union
+        pass
     out = (
         per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
@@ -243,7 +308,7 @@ def wand_topk(
 
 def shard_bm25_topk_batch(
     term_lists: dict[str, list],
-    query_specs: list[tuple[int, dict[str, float]]],
+    query_specs: list[tuple[int, dict[str, float], list[tuple[str, ...]]]],
     idf: dict[str, float],
     avg_dl: float,
     k: int,
@@ -252,20 +317,44 @@ def shard_bm25_topk_batch(
     posting blocks, decoding each term exactly once (throughput mode —
     decode amortization replaces per-query block skipping).
 
-    ``query_specs``: [(query_id, {term: weight})...].  Returns parallel
-    arrays (query_ids, doc_ids, scores) of per-query top-k."""
-    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    ``query_specs``: [(query_id, {term: weight}, phrases)...] where
+    ``phrases`` is a (possibly empty) list of word tuples that must occur
+    ADJACENTLY (positions p, p+1, ...).  Positions are decoded only for
+    terms that participate in some phrase.  Returns parallel arrays
+    (query_ids, doc_ids, scores) of per-query top-k."""
+    pos_terms = {w for _, _, phrases in query_specs for ph in phrases for w in ph}
+    decoded: dict[str, tuple] = {}
 
     def get(t: str):
+        """(docs, tfs, dls, rep_docs-or-None, positions-or-None)."""
         if t not in decoded:
-            d, tf, dl, _ = decode_posting_blocks(
-                term_lists[t], want_positions=False, want_doclens=True
+            want_pos = t in pos_terms
+            d, tf, dl, pos = decode_posting_blocks(
+                term_lists[t], want_positions=want_pos, want_doclens=True
             )
-            decoded[t] = (d, tf, dl)
+            rep = np.repeat(d, tf) if want_pos else None
+            decoded[t] = (d, tf, dl, rep, pos)
         return decoded[t]
 
+    def phrase_docs(phrase: tuple[str, ...], cand: np.ndarray) -> np.ndarray:
+        """Docs in ``cand`` containing the words adjacently: intersect the
+        per-word sets {doc<<32 | (pos - i)} — fully vectorized across all
+        candidate docs at once."""
+        keys = None
+        for i, w in enumerate(phrase):
+            _d, _tf, _dl, rep, pos = get(w)
+            m = np.isin(rep, cand)
+            # arithmetic add, not OR: (pos - i) can be negative for later
+            # words at small positions (such keys match nothing — a doc's
+            # valid offsets are far from 2^32, so no cross-doc collision)
+            kw = (rep[m].astype(np.int64) << 32) + (pos[m].astype(np.int64) - i)
+            keys = kw if keys is None else np.intersect1d(keys, kw, assume_unique=False)
+            if keys.size == 0:
+                return np.empty(0, np.int64)
+        return np.unique(keys >> 32)
+
     out_q, out_d, out_s = [], [], []
-    for qid, qweights in query_specs:
+    for qid, qweights, phrases in query_specs:
         terms = [t for t in sorted(qweights) if t in term_lists]
         if len(terms) < len(qweights):
             continue
@@ -275,12 +364,16 @@ def shard_bm25_topk_batch(
             if cand.size == 0:
                 break
             cand = cand[np.isin(cand, get(t)[0], assume_unique=True)]
+        for ph in phrases:
+            if cand.size == 0:
+                break
+            cand = phrase_docs(ph, cand)
         if cand.size == 0:
             continue
         scores = np.zeros(cand.size)
         dl_cand = None
         for t in terms:
-            d, tf, dl = get(t)
+            d, tf, dl, _rep, _pos = get(t)
             ix = np.searchsorted(d, cand)
             tf_c = tf[ix].astype(np.float64)
             if dl_cand is None:
@@ -319,21 +412,25 @@ def wand_topk_batch(
     window.  Returns (query, doc_id, url, title, score, pagerank,
     numviews, rank) ordered by (query, rank).
 
-    Phrase queries are not supported in batch mode (use run_query)."""
+    Phrase tokens ARE supported: positions are decoded in the kernel for
+    the phrase terms only, and candidates are filtered to docs where the
+    words occur adjacently — same semantics as run_query's phrase path,
+    rank-identical."""
     store = IndexStorage(index_root)
     analyzer = index_analyzer(store)
     docs = store.read_table(spark, "docs")
 
-    specs: list[tuple[int, dict[str, float]]] = []
+    specs: list[tuple[int, dict[str, float], list[tuple[str, ...]]]] = []
     for qid, q in enumerate(queries):
         token_words = analyze_tokens(parse_query(q), analyzer)
         words = [w for ws in token_words for w in ws]
         qw: dict[str, float] = {}
         for w in words:
             qw[w] = qw.get(w, 0.0) + 1.0
+        phrases = [tuple(ws) for ws in token_words if len(ws) > 1]
         if qw:
-            specs.append((qid, qw))
-    all_terms = sorted({t for _, qw in specs for t in qw})
+            specs.append((qid, qw, phrases))
+    all_terms = sorted({t for _, qw, _ in specs for t in qw})
     if not all_terms:
         return spark.createDataFrame(
             [], "query string, doc_id long, url string, title string, "
@@ -348,7 +445,9 @@ def wand_topk_batch(
         for t, df in df_by_term.items()
     }
     # queries with a term absent from the corpus can never match
-    specs = [(qid, qw) for qid, qw in specs if all(t in df_by_term for t in qw)]
+    specs = [
+        (qid, qw, ph) for qid, qw, ph in specs if all(t in df_by_term for t in qw)
+    ]
     if not specs:
         return spark.createDataFrame(
             [], "query string, doc_id long, url string, title string, "

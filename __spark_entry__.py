@@ -991,6 +991,394 @@ FROM g GROUP BY user_id ORDER BY user_id"""
 
 
 # --------------------------------------------------------------------------
+# Round-2 driver entries: the pytest-only SURVEY §2 families, SQL-oracled
+# over the pre-tokenized documents/events tables
+# --------------------------------------------------------------------------
+
+# the reference's PRF stop list (QueryHandler.java:51-77) — shared with
+# operators/prf.py; inlined into the oracle SQL below
+from websearchengine_spark.operators.prf import STOPWORDS as _PRF_STOPWORDS
+
+_SQL_STOPLIST = ", ".join(
+    "'" + w.replace("'", "''") + "'" for w in sorted(_PRF_STOPWORDS)
+)
+
+
+def q_prf_expansion(spark, sf_dir):
+    """A7/Q1 (QueryHandler.java:397-497): top-10 BM25 docs -> term mass
+    over those docs -> top-5 non-stopword terms, prob renormalized."""
+    # re-sort before the tighter limit: limit() on an already-limited sort
+    # does not itself guarantee order
+    top10 = (
+        q_bm25_topk(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    toks = _toks(spark, sf_dir).join(F.broadcast(top10), "doc_id")
+    mass = toks.groupBy("term").agg(F.count("*").alias("mass"))
+    top_terms = (
+        mass.filter(~F.col("term").isin(list(_PRF_STOPWORDS)))
+        .orderBy(F.desc("mass"), F.asc("term"))
+        .limit(5)
+    )
+    total = top_terms.agg(F.sum("mass").alias("t"))
+    return (
+        top_terms.crossJoin(total)
+        .select(
+            "term",
+            F.round(F.col("mass") / F.col("t"), 6).alias("prob"),
+        )
+        .orderBy(F.desc("prob"), F.asc("term"))
+    )
+
+
+SQL_PRF_EXPANSION = (
+    _TOKS_CTE
+    + f""",
+ dl AS ({SQL_DOC_LEN}),
+ st AS (SELECT count(*) AS n, avg(doc_len) AS avg_dl FROM dl),
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('data','stream','join') GROUP BY doc_id, term),
+ dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         WHERE term IN ('data','stream','join') GROUP BY term),
+ cand AS ({_sql_conjunctive(QUERY_TERMS)}),
+ top10 AS (SELECT tf.doc_id,
+        round(sum(ln((st.n - dfs.df + 0.5)/(dfs.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2*(0.25 + 0.75*dl.doc_len/st.avg_dl))), 6) AS score
+   FROM tf JOIN cand ON tf.doc_id = cand.doc_id
+        JOIN dfs ON tf.term = dfs.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN st
+   GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10),
+ mass AS (SELECT term, count(*) AS mass FROM toks
+          JOIN top10 ON toks.doc_id = top10.doc_id GROUP BY term),
+ sel AS (SELECT term, mass FROM mass
+         WHERE term NOT IN ({_SQL_STOPLIST})
+         ORDER BY mass DESC, term LIMIT 5),
+ tot AS (SELECT sum(mass) AS t FROM sel)
+ SELECT term, round(mass * 1.0 / tot.t, 6) AS prob
+ FROM sel CROSS JOIN tot ORDER BY prob DESC, term"""
+)
+
+
+def q_session_pmi(spark, sf_dir):
+    """Q4 session suggestion (SessionHandler.java:237-292) over events:
+    session=user_id, query=event_type; consecutive distinct queries <=60s
+    apart pair up; pmi = ln(f_pair/(f1*f2) + 1), top-3 per q1."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("session_id"),
+        F.col("event_type").alias("query"),
+        "ts",
+        "event_id",
+    )
+    w = W.partitionBy("session_id").orderBy("ts", "event_id")
+    epoch = lambda c: F.col(c).cast("timestamp").cast("double")
+    pairs = (
+        e.withColumn("prev_q", F.lag("query").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_q").isNotNull()
+            & (F.col("prev_q") != F.col("query"))
+            & (epoch("ts") - F.col("prev_ts").cast("timestamp").cast("double") <= 60.0)
+        )
+        .select(F.col("prev_q").alias("q1"), F.col("query").alias("q2"))
+        .groupBy("q1", "q2")
+        .agg(F.count("*").alias("f_pair"))
+    )
+    freq = e.groupBy("query").agg(F.count("*").alias("f"))
+    j = (
+        pairs.join(freq.withColumnRenamed("query", "q1").withColumnRenamed("f", "f1"), "q1")
+        .join(freq.withColumnRenamed("query", "q2").withColumnRenamed("f", "f2"), "q2")
+        .withColumn("pmi", F.log(F.col("f_pair") / (F.col("f1") * F.col("f2")) + 1.0))
+        .filter(F.col("pmi") > 0.0)
+    )
+    w2 = W.partitionBy("q1").orderBy(F.desc("pmi"), F.asc("q2"))
+    return (
+        j.withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("q1", "q2", F.round("pmi", 9).alias("pmi"), "rn")
+        .orderBy("q1", "rn")
+    )
+
+
+SQL_SESSION_PMI = """
+WITH e AS (SELECT user_id AS session_id, event_type AS query, ts, event_id
+           FROM events),
+ p AS (SELECT session_id, query,
+              lag(query) OVER (PARTITION BY session_id ORDER BY ts, event_id) AS prev_q,
+              epoch(ts) - epoch(lag(ts) OVER (PARTITION BY session_id
+                                              ORDER BY ts, event_id)) AS gap
+       FROM e),
+ pairs AS (SELECT prev_q AS q1, query AS q2, count(*) AS f_pair
+           FROM p
+           WHERE prev_q IS NOT NULL AND prev_q <> query AND gap <= 60.0
+           GROUP BY 1, 2),
+ freq AS (SELECT query, count(*) AS f FROM e GROUP BY query),
+ j AS (SELECT pairs.q1, pairs.q2, ln(f_pair / (f1.f * f2.f) + 1.0) AS pmi
+       FROM pairs JOIN freq f1 ON pairs.q1 = f1.query
+            JOIN freq f2 ON pairs.q2 = f2.query
+       WHERE ln(f_pair / (f1.f * f2.f) + 1.0) > 0.0),
+ rk AS (SELECT q1, q2, pmi,
+               row_number() OVER (PARTITION BY q1 ORDER BY pmi DESC, q2) AS rn
+        FROM j)
+SELECT q1, q2, round(pmi, 9) AS pmi, rn FROM rk WHERE rn <= 3
+ORDER BY q1, rn"""
+
+
+SPELL_TARGET = "strem"  # misspelling of 'stream' (in the documents vocab)
+_SPELL_FREQ_GATE = 100
+
+
+def q_spell_candidates(spark, sf_dir):
+    """Q3/F2-F4 (IndexerInvertedOccurrence.java:660-911): candidates for
+    one misspelled token through ALL the reference gates — shared
+    char-bigram positions, |len diff|<3, all-alphabetic, edit distance
+    <=1, frequency gate (posting-list length = 2*ctf), top-2 by freq."""
+    target = SPELL_TARGET
+    vocab = (
+        _toks(spark, sf_dir)
+        .groupBy("term")
+        .agg((2 * F.count("*")).cast("long").alias("freq"))
+    )
+    bgs = [(i, target[i : i + 2]) for i in range(len(target) - 1)]
+    bdf = spark.createDataFrame(bgs, "pos int, bigram string")
+    boundary = 1 if len(target) <= 5 else 2
+    vb = vocab.select(
+        "term",
+        "freq",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(term)-1, 1)),"
+                    " i -> substring(term, i, 2))"
+                )
+            )
+        ).alias("bigram"),
+    ).filter(F.length("bigram") == 2)
+    return (
+        vb.join(F.broadcast(bdf), "bigram")
+        .groupBy("term", "freq")
+        .agg(F.countDistinct("pos").alias("matches"))
+        .filter(F.col("matches") >= boundary)
+        .filter(F.abs(F.length("term") - len(target)) < 3)
+        .filter(F.col("term") != target)
+        .filter(F.col("term").rlike("^[a-zA-Z]+$"))
+        .filter(F.levenshtein(F.col("term"), F.lit(target)) <= 1)
+        .filter(F.col("freq") > _SPELL_FREQ_GATE)
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .select("term", "freq")
+        .limit(2)
+    )
+
+
+_SPELL_BIGRAM_VALUES = ", ".join(
+    f"({i}, '{SPELL_TARGET[i:i+2]}')" for i in range(len(SPELL_TARGET) - 1)
+)
+
+SQL_SPELL_CANDIDATES = (
+    _TOKS_CTE
+    + f""",
+ vocab AS (SELECT term, CAST(2 * count(*) AS BIGINT) AS freq
+           FROM toks GROUP BY term),
+ tb(pos, bigram) AS (VALUES {_SPELL_BIGRAM_VALUES}),
+ vbi AS (SELECT term, freq,
+                unnest(generate_series(1, greatest(length(term) - 1, 1))) AS i
+         FROM vocab),
+ cb AS (SELECT DISTINCT v.term, v.freq, tb.pos
+        FROM vbi v JOIN tb ON substr(v.term, CAST(v.i AS INT), 2) = tb.bigram),
+ m AS (SELECT term, freq, count(DISTINCT pos) AS matches
+       FROM cb GROUP BY term, freq)
+ SELECT term, freq FROM m
+ WHERE matches >= 1
+   AND abs(length(term) - {len(SPELL_TARGET)}) < 3
+   AND term <> '{SPELL_TARGET}'
+   AND regexp_matches(term, '^[a-zA-Z]+$')
+   AND levenshtein(term, '{SPELL_TARGET}') <= 1
+   AND freq > {_SPELL_FREQ_GATE}
+ ORDER BY freq DESC, term LIMIT 2"""
+)
+
+
+def q_eval_metrics(spark, sf_dir):
+    """E2 (Evaluator.java:107-259) through the REAL evalx operator:
+    ranked list = top-10 docs by (doc_len desc, doc_id asc); judgments
+    derived deterministically from doc_id (doc_id%7 -> grade scale)."""
+    from websearchengine_spark.operators.evalx import evaluate_query
+
+    ranked = [
+        r["doc_id"]
+        for r in q_doc_len(spark, sf_dir)
+        .orderBy(F.desc("doc_len"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    ]
+    grades = {0: 10.0, 1: 7.0, 2: 5.0, 3: 1.0, 4: 0.0}
+    judgments = {
+        r["doc_id"]: grades[r["doc_id"] % 7]
+        for r in _docs(spark, sf_dir).select("doc_id").collect()
+        if r["doc_id"] % 7 in grades
+    }
+    m = evaluate_query(ranked, judgments)
+    row = [
+        (
+            round(m["P@5"], 6),
+            round(m["R@5"], 6),
+            round(m["MAP"], 6),
+            round(m["MRR"], 6),
+            round(m["NDCG@10"], 6),
+        )
+    ]
+    return spark.createDataFrame(
+        row, "p5 double, r5 double, map double, mrr double, ndcg10 double"
+    )
+
+
+SQL_EVAL_METRICS = (
+    _TOKS_CTE.replace("WITH toks AS", "WITH toks AS")
+    + f""",
+ dl AS ({SQL_DOC_LEN}),
+ ranked AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_len DESC, doc_id) AS n
+            FROM dl ORDER BY doc_len DESC, doc_id LIMIT 10),
+ j AS (SELECT doc_id,
+              CASE doc_id % 7 WHEN 0 THEN 10.0 WHEN 1 THEN 7.0
+                   WHEN 2 THEN 5.0 WHEN 3 THEN 1.0 WHEN 4 THEN 0.0 END AS g
+       FROM documents WHERE doc_id % 7 <= 4),
+ mrel AS (SELECT count(*) AS m FROM j WHERE g > 1.0),
+ rj AS (SELECT r.n, j.g FROM ranked r LEFT JOIN j USING (doc_id)),
+ acc AS (SELECT n, g,
+                sum(CASE WHEN g > 1.0 THEN 1 ELSE 0 END)
+                    OVER (ORDER BY n) AS rr
+         FROM rj),
+ tot AS (SELECT max(rr) AS rr10,
+                sum(CASE WHEN g > 1.0 THEN rr * 1.0 / n ELSE 0 END) AS ap,
+                min(CASE WHEN g > 1.0 THEN n END) AS first_rel,
+                sum(CASE WHEN g IS NOT NULL AND n <= 10
+                         THEN g * ln(2) / ln(n + 1) ELSE 0 END) AS dcg10,
+                max(CASE WHEN n = 5 THEN rr END) AS rr5
+         FROM acc),
+ ig AS (SELECT g, row_number() OVER (ORDER BY g DESC) AS i FROM j),
+ idcg AS (SELECT sum(g * ln(2) / ln(i + 1)) AS v
+          FROM ig CROSS JOIN mrel WHERE i <= least(mrel.m, 10))
+ SELECT round(rr5 / 5.0, 6) AS p5,
+        round(rr5 * 1.0 / mrel.m, 6) AS r5,
+        round(CASE WHEN rr10 > 0 THEN ap / rr10 ELSE 0 END, 6) AS map,
+        round(CASE WHEN first_rel IS NULL THEN 0.0
+                   ELSE 1.0 / first_rel END, 6) AS mrr,
+        round(CASE WHEN idcg.v > 0 THEN dcg10 / idcg.v ELSE 0 END, 6) AS ndcg10
+ FROM tot CROSS JOIN mrel CROSS JOIN idcg"""
+)
+
+
+def q_favorite_topk(spark, sf_dir):
+    """R2 (RankerFavorite.java:31-59): exp(QL_JM(0.5)) over conjunctive
+    candidates — no static signals."""
+    toks = _toks(spark, sf_dir).filter(F.col("term").isin(QL_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = q_doc_len(spark, sf_dir)
+    stats = q_corpus_stats(spark, sf_dir).collect()[0]
+    total_tf = float(stats["total_tf"])
+    ctfs = (
+        _toks(spark, sf_dir)
+        .filter(F.col("term").isin(QL_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("ctf"))
+    )
+    cand = _conjunctive(spark, sf_dir, QL_TERMS)
+    return (
+        tf.join(cand, "doc_id")
+        .join(F.broadcast(ctfs), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "_lp",
+            F.log(0.5 * F.col("tf") / F.col("doc_len") + 0.5 * F.col("ctf") / F.lit(total_tf)),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.exp(F.sum("_lp")), 9).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_FAVORITE_TOPK = (
+    _TOKS_CTE
+    + f""",
+ dl AS ({SQL_DOC_LEN}),
+ st AS (SELECT CAST(sum(doc_len) AS BIGINT) AS total_tf FROM dl),
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('data','stream') GROUP BY doc_id, term),
+ ctfs AS (SELECT term, count(*) AS ctf FROM toks
+          WHERE term IN ('data','stream') GROUP BY term),
+ cand AS ({_sql_conjunctive(QL_TERMS)})
+ SELECT tf.doc_id,
+        round(exp(sum(ln(0.5*tf.tf/dl.doc_len + 0.5*ctfs.ctf/st.total_tf))), 9)
+            AS score
+ FROM tf JOIN cand ON tf.doc_id = cand.doc_id
+      JOIN ctfs ON tf.term = ctfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN st
+ GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20"""
+)
+
+
+def q_page_summary(spark, sf_dir):
+    """/page_summary (QueryHandler.java:365-376): first <=50
+    position-ordered terms of doc 42."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") == 42)
+        .select(F.posexplode(F.slice(_tok_expr(), 1, 50)).alias("pos", "term"))
+        .select(F.col("pos").cast("long").alias("pos"), "term")
+        .orderBy("pos")
+    )
+
+
+SQL_PAGE_SUMMARY = """
+WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                     x -> x <> '')) AS term,
+                  generate_subscripts(list_filter(regexp_split_to_array(
+                      lower(text), '\\s+'), x -> x <> ''), 1) AS i
+           FROM documents WHERE doc_id = 42)
+SELECT CAST(i - 1 AS BIGINT) AS pos, term FROM t WHERE i <= 50 ORDER BY pos"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, hamming <= 2, via the REAL banded-join
+    operator (dedup.simhash_duplicate_pairs) — oracle is brute-force."""
+    from websearchengine_spark.operators.dedup import simhash_duplicate_pairs
+
+    return (
+        simhash_duplicate_pairs(_docs(spark, sf_dir), bits=16, max_hamming=2)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_SIMHASH_PAIRS = (
+    _TOKS_CTE
+    + """,
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+ bits AS (SELECT doc_id, g.b,
+                 sum(tf * CASE WHEN substr(md5(term), g.b + 1, 1) IN
+                     ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s
+          FROM tf CROSS JOIN generate_series(0, 15) g(b)
+          GROUP BY doc_id, g.b),
+ sh AS (SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END) AS BIGINT)
+                   AS sim
+        FROM bits GROUP BY doc_id)
+ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ WHERE bit_count(xor(a.sim, b.sim)) <= 2
+ ORDER BY doc_a, doc_b"""
+)
+
+
+# --------------------------------------------------------------------------
 # Full engine path (index build + block-max WAND) — SQL-oracled because the
 # whitespace analyzer makes the token stream SQL-reproducible
 # --------------------------------------------------------------------------
@@ -1095,6 +1483,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "bm25_index_path": q_bm25_index_path,
+        "prf_expansion": q_prf_expansion,
+        "session_pmi": q_session_pmi,
+        "spell_candidates": q_spell_candidates,
+        "eval_metrics": q_eval_metrics,
+        "favorite_top20": q_favorite_topk,
+        "page_summary": q_page_summary,
+        "simhash_dup_pairs": q_simhash_pairs,
     }
 
 
@@ -1130,4 +1525,11 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "bm25_index_path": SQL_BM25_INDEX_PATH,
+        "prf_expansion": SQL_PRF_EXPANSION,
+        "session_pmi": SQL_SESSION_PMI,
+        "spell_candidates": SQL_SPELL_CANDIDATES,
+        "eval_metrics": SQL_EVAL_METRICS,
+        "favorite_top20": SQL_FAVORITE_TOPK,
+        "page_summary": SQL_PAGE_SUMMARY,
+        "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
     }

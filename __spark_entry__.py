@@ -1324,6 +1324,168 @@ SQL_FAVORITE_TOPK = (
 )
 
 
+_FS_TERMS = ["data", "stream"]
+
+
+def q_linear_fullscan(spark, sf_dir):
+    """R7 linear (SignalFactory.java:182-222): 1.0*cosine + 10.0*ql +
+    0.001*phrase + 0.01*ln(nv+1) over a fullscan corpus mapped from
+    documents (body=RAW whitespace tokens — the reference does not
+    lowercase in fullscan mode; nv := doc_id % 100).
+
+    cosine is the R5 query-counted-as-document variant: query
+    occurrences bump df (idf_adj = ln(n/(df+qtf))+1 for shared terms),
+    doc/query norms corrected by overlap deltas."""
+    import math as _m
+
+    docs = _docs(spark, sf_dir)
+    toks_arr = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    base = docs.select("doc_id", toks_arr.alias("toks"))
+    bt = base.select("doc_id", F.explode("toks").alias("term"))
+    tf = bt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    srow = base.agg(
+        F.count("*").alias("nd"), F.sum(F.size("toks")).alias("total")
+    ).collect()[0]
+    n = float(srow["nd"] + 1)  # query counted as an extra document
+    total = float(srow["total"])
+    ts_ = bt.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"), F.count("*").alias("ctf")
+    )
+    dl = base.select("doc_id", F.size("toks").alias("body_len"))
+
+    qrows = {r["term"]: r for r in ts_.filter(F.col("term").isin(_FS_TERMS)).collect()}
+    idf_qonly2 = (_m.log(n) + 1.0) ** 2
+    qnorm2_base = len(_FS_TERMS) * idf_qonly2
+    ql_base = sum(
+        _m.log(0.5 * qrows[t]["ctf"] / total) for t in _FS_TERMS
+    )
+    qd = spark.createDataFrame(
+        [
+            (
+                t,
+                float(qrows[t]["ctf"]),
+                (_m.log(n / (qrows[t]["df"] + 1.0)) + 1.0) ** 2,
+                (_m.log(n / qrows[t]["df"]) + 1.0) ** 2,
+            )
+            for t in _FS_TERMS
+        ],
+        "term string, ctf double, adj2 double, base2 double",
+    )
+
+    idf_base = F.log(F.lit(n) / F.col("df")) + 1.0
+    norm2 = (
+        tf.join(ts_, "term")
+        .withColumn("_t2", F.pow(F.col("tf") * idf_base, 2))
+        .groupBy("doc_id")
+        .agg(F.sum("_t2").alias("norm2_base"))
+    )
+    ov = (
+        tf.join(F.broadcast(qd), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("adj2")).alias("num"),
+            F.sum(F.col("tf") * F.col("tf") * (F.col("adj2") - F.col("base2"))).alias("dnd"),
+            F.sum(F.col("adj2") - F.lit(idf_qonly2)).alias("qnd"),
+            F.sum(
+                F.log(0.5 * F.col("tf") / F.col("body_len") + 0.5 * F.col("ctf") / F.lit(total))
+                - F.log(0.5 * F.col("ctf") / F.lit(total))
+            ).alias("ql_adj"),
+        )
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks)-1, 0)),"
+                " (t, i) -> concat(t, toks[i+1]))"
+            )
+        ).alias("g"),
+    )
+    ph = (
+        grams.filter(F.col("g") == "".join(_FS_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("phc"))
+    )
+    cos = F.when(
+        F.col("num").isNotNull(),
+        F.col("num")
+        / (
+            F.sqrt(F.lit(qnorm2_base) + F.coalesce("qnd", F.lit(0.0)))
+            * F.sqrt(F.coalesce("norm2_base", F.lit(0.0)) + F.coalesce("dnd", F.lit(0.0)))
+        ),
+    ).otherwise(0.0)
+    return (
+        dl.join(norm2, "doc_id", "left")
+        .join(ov, "doc_id", "left")
+        .join(ph, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                cos
+                + 10.0 * F.exp(F.lit(ql_base) + F.coalesce("ql_adj", F.lit(0.0)))
+                + 0.001 * F.coalesce(F.col("phc").cast("double"), F.lit(0.0))
+                + 0.01 * F.log(F.col("doc_id") % 100 + 1.0),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_LINEAR_FULLSCAN = """
+WITH base AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+ t AS (SELECT doc_id, unnest(toks) AS term FROM base),
+ dl AS (SELECT doc_id, len(toks) AS body_len FROM base),
+ st AS (SELECT (SELECT count(*) FROM documents) + 1.0 AS n,
+               (SELECT sum(body_len) FROM dl) * 1.0 AS total),
+ ts AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ctf
+        FROM t GROUP BY term),
+ q(term) AS (VALUES ('data'), ('stream')),
+ qd AS (SELECT q.term, ts.ctf * 1.0 AS ctf,
+               pow(ln(st.n / (ts.df + 1.0)) + 1, 2) AS adj2,
+               pow(ln(st.n / ts.df) + 1, 2) AS base2,
+               pow(ln(st.n) + 1, 2) AS qonly2
+        FROM q JOIN ts USING (term) CROSS JOIN st),
+ qb AS (SELECT sum(ln(0.5 * ctf / st.total)) AS ql_base,
+               sum(qonly2) AS qnorm2_base
+        FROM qd CROSS JOIN st),
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+ n2 AS (SELECT tf.doc_id,
+               sum(tf.tf * tf.tf * pow(ln(st.n / ts.df) + 1, 2)) AS norm2_base
+        FROM tf JOIN ts USING (term) CROSS JOIN st GROUP BY tf.doc_id),
+ ov AS (SELECT tf.doc_id,
+               sum(tf.tf * qd.adj2) AS num,
+               sum(tf.tf * tf.tf * (qd.adj2 - qd.base2)) AS dnd,
+               sum(qd.adj2 - qd.qonly2) AS qnd,
+               sum(ln(0.5 * tf.tf / dl.body_len + 0.5 * qd.ctf / st.total)
+                   - ln(0.5 * qd.ctf / st.total)) AS ql_adj
+        FROM tf JOIN qd USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY tf.doc_id),
+ grams AS (SELECT doc_id, toks[i] || toks[i + 1] AS g
+           FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM base WHERE len(toks) > 1)),
+ ph AS (SELECT doc_id, count(*) AS phc FROM grams
+        WHERE g = 'datastream' GROUP BY doc_id)
+SELECT dl.doc_id,
+       round(CASE WHEN ov.num IS NOT NULL THEN
+                 ov.num / (sqrt(qb.qnorm2_base + coalesce(ov.qnd, 0))
+                           * sqrt(coalesce(n2.norm2_base, 0)
+                                  + coalesce(ov.dnd, 0)))
+             ELSE 0 END
+             + 10.0 * exp(qb.ql_base + coalesce(ov.ql_adj, 0))
+             + 0.001 * coalesce(ph.phc, 0)
+             + 0.01 * ln(dl.doc_id % 100 + 1.0), 6) AS score
+FROM dl LEFT JOIN n2 USING (doc_id) LEFT JOIN ov USING (doc_id)
+     LEFT JOIN ph USING (doc_id) CROSS JOIN qb
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
 def q_page_summary(spark, sf_dir):
     """/page_summary (QueryHandler.java:365-376): first <=50
     position-ordered terms of doc 42."""
@@ -1488,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_candidates": q_spell_candidates,
         "eval_metrics": q_eval_metrics,
         "favorite_top20": q_favorite_topk,
+        "linear_fullscan_top20": q_linear_fullscan,
         "page_summary": q_page_summary,
         "simhash_dup_pairs": q_simhash_pairs,
     }
@@ -1530,6 +1693,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_candidates": SQL_SPELL_CANDIDATES,
         "eval_metrics": SQL_EVAL_METRICS,
         "favorite_top20": SQL_FAVORITE_TOPK,
+        "linear_fullscan_top20": SQL_LINEAR_FULLSCAN,
         "page_summary": SQL_PAGE_SUMMARY,
         "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
     }

@@ -17,6 +17,7 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     corpus_path, out_root, n_shards = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    n_groups = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     spark = (
         SparkSession.builder.appName("wse-scaling-build")
         .config("spark.sql.adaptive.enabled", "true")
@@ -36,23 +37,26 @@ def main() -> None:
     n_docs = pages.count()
 
     t0 = time.time()
-    build_index(
+    store = build_index(
         spark,
         pages,
         out_root,
         n_shards=n_shards,
-        n_groups=2,
+        n_groups=n_groups,
         keep_doc_terms=False,
         resume=False,
     )
     build_sec = time.time() - t0
+    phases = store.read_manifest().get("config", {}).get("phase_timings_sec", {})
     print(
         json.dumps(
             {
                 "cores": cores,
                 "n_docs": n_docs,
+                "n_groups": n_groups,
                 "build_sec": round(build_sec, 3),
                 "docs_per_sec": round(n_docs / build_sec, 2),
+                "phases": phases,
             }
         )
     )

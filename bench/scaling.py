@@ -92,7 +92,9 @@ def cpu_envelope(n: int) -> dict:
     return out
 
 
-def run_build(cores: int, corpus: str, out_root: str, driver_mem: str = "40g") -> dict:
+def run_build(
+    cores: int, corpus: str, out_root: str, driver_mem: str = "40g", n_groups: int = 1
+) -> dict:
     from websearchengine_spark.session import make_pyfiles_zip
 
     zip_path = make_pyfiles_zip(os.path.join(tempfile.gettempdir(), "wse_pkg.zip"))
@@ -106,7 +108,7 @@ def run_build(cores: int, corpus: str, out_root: str, driver_mem: str = "40g") -
         "--conf", f"spark.local.dir={local_dir}",
         "--py-files", zip_path,
         os.path.join(REPO, "bench", "build_job.py"),
-        corpus, out_root, "32",
+        corpus, out_root, "32", str(n_groups),
     ]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -126,6 +128,11 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=int(os.environ.get("SCALE_DOCS", 600_000)))
     ap.add_argument("--n", type=int, default=4, help="small level N (big level = 4N)")
     ap.add_argument("--repeats", type=int, default=3)
+    # n_groups=1 looked better at 150k docs (fewer barriers) but COLLAPSES
+    # at 600k/16c: one giant shuffle+encode job doubles peak task memory and
+    # the encode stage went 51s->87s (measured twice, not host noise).
+    ap.add_argument("--n-groups", type=int, default=2,
+                    help="build groups (2 = round-1 protocol; 1 thrashes at 600k)")
     ap.add_argument("--workdir", default="/tmp/wse_scaling")
     args = ap.parse_args()
 
@@ -133,81 +140,143 @@ def main() -> None:
     print(f"generating corpus ({args.docs} docs)...", flush=True)
     corpus = generate_corpus(args.docs, args.workdir)
 
-    print("measuring machine CPU envelopes...", flush=True)
-    env = cpu_envelope(args.n)
-    envelope = env["bandwidth"]  # the build is shuffle/memcpy-heavy
-    print(
-        f"machine max speedup {args.n}->{4 * args.n} cores: "
-        f"ALU {env['alu']:.2f}x, bandwidth {env['bandwidth']:.2f}x",
-        flush=True,
-    )
-
     levels = (args.n, 4 * args.n)
+    n, n4 = levels
     best: dict[int, dict] = {}
+    attempts: list[dict] = []
     for attempt in range(args.repeats):
+        # probe the machine envelope IN the same time window as this
+        # attempt's engine runs — the host's effective CPU drifts, so a
+        # probe taken minutes earlier can't bound runs taken now
+        env = cpu_envelope(args.n)
+        print(
+            f"attempt {attempt + 1} envelope {n}->{n4} cores: "
+            f"ALU {env['alu']:.2f}x, bandwidth {env['bandwidth']:.2f}x",
+            flush=True,
+        )
+        pair: dict = {"envelope": env}
         for cores in levels:  # interleaved so both levels see the same host weather
             out_root = os.path.join(args.workdir, f"idx_{cores}")
             if os.path.exists(out_root):
                 shutil.rmtree(out_root)
             print(f"build at local[{cores}] (attempt {attempt + 1})...", flush=True)
-            r = run_build(cores, corpus, out_root)
+            r = run_build(cores, corpus, out_root, n_groups=args.n_groups)
             print(json.dumps(r), flush=True)
+            pair[f"local{cores}"] = r
             if cores not in best or r["build_sec"] < best[cores]["build_sec"]:
                 best[cores] = r
+        pair["speedup"] = round(
+            pair[f"local{n4}"]["docs_per_sec"] / pair[f"local{n}"]["docs_per_sec"], 3
+        )
+        pair["normalized_vs_bandwidth"] = round(
+            pair["speedup"] / env["bandwidth"], 3
+        )
+        attempts.append(pair)
 
-    n, n4 = levels
     tp_n = best[n]["docs_per_sec"]
     tp_4n = best[n4]["docs_per_sec"]
     speedup = tp_4n / tp_n
     eff = speedup / 4
-    eff_norm = speedup / envelope
+    bw_envs = sorted(a["envelope"]["bandwidth"] for a in attempts)
+    alu_envs = sorted(a["envelope"]["alu"] for a in attempts)
+    env_med = bw_envs[len(bw_envs) // 2]
+    eff_norm = speedup / env_med
+    norm_attempts = sorted(a["normalized_vs_bandwidth"] for a in attempts)
+
+    # per-phase 4-vs-16 breakdown from the best runs
+    phases_n = best[n].get("phases", {})
+    phases_4n = best[n4].get("phases", {})
+    phase_rows = []
+    for ph in sorted(set(phases_n) | set(phases_4n)):
+        a, b = phases_n.get(ph, 0.0), phases_4n.get(ph, 0.0)
+        sp = round(a / b, 2) if b > 0 else None
+        phase_rows.append((ph, a, b, sp))
+
     report = {
         "n_docs": args.docs,
+        "n_groups": args.n_groups,
         "levels": {"N": n, "4N": n4},
         f"throughput_local{n}_docs_per_sec": tp_n,
         f"throughput_local{n4}_docs_per_sec": tp_4n,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
-        "machine_envelope_speedup_alu": round(env["alu"], 3),
-        "machine_envelope_speedup_bandwidth": round(env["bandwidth"], 3),
+        "machine_envelope_speedup_alu_min_med_max": [
+            round(alu_envs[0], 3), round(alu_envs[len(alu_envs) // 2], 3), round(alu_envs[-1], 3)
+        ],
+        "machine_envelope_speedup_bandwidth_min_med_max": [
+            round(bw_envs[0], 3), round(env_med, 3), round(bw_envs[-1], 3)
+        ],
         "scaling_efficiency_envelope_normalized": round(eff_norm, 3),
+        "normalized_per_attempt_min_med_max": [
+            norm_attempts[0], norm_attempts[len(norm_attempts) // 2], norm_attempts[-1]
+        ],
+        "per_attempt": attempts,
         "target": 0.8,
         "pass_raw": eff >= 0.8,
         "pass_normalized": eff_norm >= 0.8,
         f"build_sec_local{n}": best[n]["build_sec"],
         f"build_sec_local{n4}": best[n4]["build_sec"],
+        "phases": {"N": phases_n, "4N": phases_4n},
     }
     print(json.dumps(report), flush=True)
 
+    phase_table = "\n".join(
+        f"| {ph} | {a:.1f} | {b:.1f} | {('%.2fx' % sp) if sp else '—'} |"
+        for ph, a, b, sp in phase_rows
+    )
     md = f"""# BENCH / BASELINE — scaling run
 
-Protocol (BASELINE.md): identical index-build job, identical
-pre-generated synthetic corpus ({args.docs:,} docs), two parallelism
-levels in fresh JVMs via `spark-submit --py-files websearchengine_spark.zip
-bench/build_job.py`, each pinned with `taskset` to exactly its core
-budget — the sandbox stand-in for N vs 4N executors.  Runs are
-interleaved and best-of-{args.repeats} per level because this VM's
-effective CPU fluctuates (nonzero steal time).
+**Raw N->4N scaling efficiency: {eff:.3f}** (speedup {speedup:.2f}x,
+target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).  The envelope
+normalization below is secondary context, not the headline.
+
+Protocol (BASELINE.md): identical index-build job (n_groups={args.n_groups}),
+identical pre-generated synthetic corpus ({args.docs:,} docs), two
+parallelism levels in fresh JVMs via `spark-submit --py-files
+websearchengine_spark.zip bench/build_job.py`, each pinned with
+`taskset` to exactly its core budget — the sandbox stand-in for N vs 4N
+executors.  Runs are interleaved and best-of-{args.repeats} per level
+because this VM's effective CPU fluctuates (nonzero steal time).
 
 | level | cores | build sec | docs/sec |
 |---|---|---|---|
 | N  | {n}  | {best[n]['build_sec']:.1f} | {tp_n:.1f} |
 | 4N | {n4} | {best[n4]['build_sec']:.1f} | {tp_4n:.1f} |
 
-**engine speedup = {speedup:.2f}x -> raw scaling efficiency = {eff:.3f}**
+## Per-phase breakdown (best runs)
 
-Machine envelopes (multiprocessing probes, no Spark, pinned the same
-way): ALU-bound work scales **{env['alu']:.2f}x** and DRAM-bandwidth-
-bound work only **{env['bandwidth']:.2f}x** from {n} to {n4} cores —
-on one box the small-N baseline keeps the ENTIRE memory bandwidth and
-LLC, which a real {n}-executor cluster would not have.  Index building
+| phase | {n}-core sec | {n4}-core sec | speedup |
+|---|---|---|---|
+{phase_table}
+
+`setup`/`stats`/`term_stats` are fixed driver-side costs (a few
+seconds at EITHER width — Amdahl tax that shrinks as the corpus
+grows); `analyze_and_docs` is the Arrow extract/analyze UDF + docs
+write; `postings_groups` is the single wide shuffle + varbyte encode.
+
+## Machine envelope (probed per attempt, same time window)
+
+Multiprocessing probes (no Spark, pinned the same way), re-measured
+immediately before EACH interleaved attempt because the host's
+effective CPU drifts between minutes:
+
+* ALU-bound probe speedup {n}->{n4}: min/median/max =
+  {alu_envs[0]:.2f} / {alu_envs[len(alu_envs)//2]:.2f} / {alu_envs[-1]:.2f}
+* bandwidth-bound probe speedup: min/median/max =
+  {bw_envs[0]:.2f} / {env_med:.2f} / {bw_envs[-1]:.2f}
+* engine speedup normalized by the SAME-WINDOW bandwidth probe,
+  per attempt: min/median/max = {norm_attempts[0]:.2f} /
+  {norm_attempts[len(norm_attempts)//2]:.2f} / {norm_attempts[-1]:.2f}
+
+On one box the small-N baseline keeps the ENTIRE memory bandwidth and
+LLC, which a real {n}-executor cluster would not have; index building
 is shuffle/memcpy-heavy, so the bandwidth probe is the relevant
-ceiling; the engine achieves **{eff_norm:.3f} of it**
-(target >= 0.8: raw {"PASS" if eff >= 0.8 else "FAIL"},
-envelope-normalized {"PASS" if eff_norm >= 0.8 else "FAIL"}).
-On a real cluster each added executor brings its own memory bandwidth,
-local disks, and network port — the resource the single-box
-substitution cannot scale.
+ceiling.  Median-normalized efficiency: **{eff_norm:.3f}**
+(>= 0.8: {"PASS" if eff_norm >= 0.8 else "FAIL"}).  On a real cluster
+each added executor brings its own memory bandwidth, local disks, and
+network port — the resource the single-box substitution cannot scale;
+the engine's plan has no algorithmic serial section that grows with
+data (one wide shuffle, broadcast-only driver state).
 
 Methodology notes:
 * timing starts after SparkSession + input DataFrame creation (JVM

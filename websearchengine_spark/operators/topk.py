@@ -54,12 +54,17 @@ from websearchengine_spark.operators.query import (
 from websearchengine_spark.sources.storage import IndexStorage
 
 
-def _decode_blocks_overlapping(blocks, cand: np.ndarray):
-    """Decode only blocks whose docid range intersects ``cand``.
+def _decode_blocks_overlapping(blocks, cand: np.ndarray, min_impact: float = -math.inf):
+    """Decode only blocks whose docid range intersects ``cand`` AND whose
+    ``max_impact`` clears ``min_impact`` (the block-max skip: a block whose
+    best possible contribution still can't lift any doc past the running
+    threshold is dropped WITHOUT decoding, docs and all).
 
     Returns (doc_ids, tfs, dls, n_decoded, n_total)."""
     selected = []
     for b in blocks:
+        if b[4] <= min_impact:
+            continue
         lo, hi = b[0], b[1]
         i = np.searchsorted(cand, lo, side="left")
         if i < cand.size and cand[i] <= hi:
@@ -88,19 +93,40 @@ def shard_bm25_topk(
     if len(terms) < len(qweights):
         return np.empty(0, np.int64), np.empty(0, np.float64), stats
 
-    # rarest term decoded fully; it drives the candidate set
+    # With a threshold, a block of term t can be skipped BEFORE decoding if
+    # even its best doc — block max_impact for t plus every OTHER term's
+    # global max impact — cannot clear the threshold.  Docs dropped this
+    # way score <= threshold < the global k-th score: provably out.
+    min_imp = {t: -math.inf for t in terms}
+    if threshold > -math.inf:
+        gmax = {
+            t: max(b[4] for b in term_lists[t]) if term_lists[t] else 0.0
+            for t in terms
+        }
+        for t in terms:
+            others = sum(qweights[u] * idf[u] * gmax[u] for u in terms if u != t)
+            w = qweights[t] * idf[t]
+            # qw*idf*max_impact + others <= threshold  <=>  max_impact <= ...
+            min_imp[t] = (threshold - others) / w if w > 0 else -math.inf
+
+    # rarest term drives the candidate set (block-max skip applies to it
+    # too; the range check is a no-op for the driver — every block matches
+    # its own first_docid — so only the impact gate filters here)
     first = terms[0]
-    cand, tf0, dl0, _ = decode_posting_blocks(
-        term_lists[first], want_positions=False, want_doclens=True
+    firsts0 = np.sort(np.array([b[0] for b in term_lists[first]], dtype=np.int64))
+    cand, tf0, dl0, ndec0, ntot0 = _decode_blocks_overlapping(
+        term_lists[first], firsts0, min_impact=min_imp[first]
     )
-    stats["blocks_total"] += len(term_lists[first])
-    stats["blocks_decoded"] += len(term_lists[first])
+    stats["blocks_total"] += ntot0
+    stats["blocks_decoded"] += ndec0
     per_term = {first: (cand, tf0, dl0)}
     for t in terms[1:]:
         if cand.size == 0:
             stats["blocks_total"] += len(term_lists[t])
             return np.empty(0, np.int64), np.empty(0, np.float64), stats
-        d, tf, dl, ndec, ntot = _decode_blocks_overlapping(term_lists[t], cand)
+        d, tf, dl, ndec, ntot = _decode_blocks_overlapping(
+            term_lists[t], cand, min_impact=min_imp[t]
+        )
         stats["blocks_decoded"] += ndec
         stats["blocks_total"] += ntot
         per_term[t] = (d, tf, dl)
@@ -187,13 +213,18 @@ WAND_PRUNE_EPS = 1e-9
 # populated by the shard kernel (read .value after the query ran).
 LAST_WAND_STATS: dict = {}
 
+# two_phase=None auto-enables the threshold phase only when the query's
+# total posting volume makes exact-scoring the dominant cost; below this
+# the extra phase-1 job costs more wall-clock than pruning saves.
+WAND_TWO_PHASE_MIN_POSTINGS = 200_000
+
 
 def wand_topk(
     spark: SparkSession,
     index_root: str,
     query: str,
     k: int = 10,
-    two_phase: bool = True,
+    two_phase: bool | None = None,
 ) -> DataFrame:
     """BM25 top-k over the sharded index via the block-max kernel.
 
@@ -205,6 +236,10 @@ def wand_topk(
     shard's kernel, where candidates whose block-max upper bound cannot
     reach it are dropped BEFORE exact scoring.  The final top-k is
     provably identical to the exhaustive run (see WAND_PRUNE_EPS).
+    ``two_phase=None`` (default) auto-enables it when the query's total
+    posting count exceeds WAND_TWO_PHASE_MIN_POSTINGS — at small volumes
+    the extra phase-1 job dominates; at cluster scale any real query
+    crosses the cutoff.
 
     Returns the same columns as query.run_query, ordered by
     (score desc, doc_id asc)."""
@@ -252,6 +287,9 @@ def wand_topk(
     }
     LAST_WAND_STATS.clear()
     LAST_WAND_STATS.update(acc)
+
+    if two_phase is None:
+        two_phase = sum(df_by_term.values()) >= WAND_TWO_PHASE_MIN_POSTINGS
 
     # ---- phase 1: one shard scored driver-side -> running threshold ----
     threshold = -math.inf

@@ -55,6 +55,31 @@ def audit_plans(spark, index_root: str) -> dict[str, tuple[bool, str]]:
     ok = "PushedFilters: [In(doc_id" in dp or "PushedFilters: [In(`doc_id`" in dp
     out["docs_lookup_pushdown"] = (ok, _scan_lines(dp))
 
+    # 5. IVF probe: list_id filter is a PARTITION filter on the persisted
+    #    index — a query reads nprobe/nlist of the files, never the rest
+    import os
+
+    from websearchengine_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_write_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(4)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_path = os.path.join(index_root, "_ivf_audit")
+    if not os.path.exists(os.path.join(ivf_path, "_SUCCESS")):
+        cents = ivf_build_centroids(emb, nlist=4)
+        ivf_write_index(emb, cents, ivf_path)
+    probe = spark.read.parquet(ivf_path).filter(F.col("list_id").isin([1]))
+    ip = plan_of(probe)
+    ok = "PartitionFilters" in ip and "list_id" in ip
+    out["ivf_probe_partition_pruned"] = (
+        ok,
+        _grep(ip, ["PartitionFilters", "Location"]),
+    )
+
     return out
 
 

@@ -815,6 +815,53 @@ WITH planes AS (
 SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket"""
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs through the REAL bucketed operator
+    (similarity.cosine_near_dup_pairs): sign-LSH bucket join -> exact
+    cosine within buckets.  The oracle mirrors the bucket hash exactly,
+    so the driver verifies the SCALE path, not a brute-force stand-in.
+    Threshold compared on the rounded integer micro-cosine (boundary-
+    and hash-stable on both sides)."""
+    from websearchengine_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = cosine_near_dup_pairs(emb, threshold=-2.0, n_planes=8)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(F.col("cosine") * 1e6, 0).cast("long").alias("cosine_e6"),
+        )
+        .filter(F.col("cosine_e6") >= 300000)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_EMB_NEAR_DUP = """
+WITH planes AS (
+  SELECT e.vec_id, g.p, i.i, e.embedding[i.i] AS v,
+         ((i.i * (g.p + 3) * 2654435761) % 1000) / 1000.0 - 0.5 AS w
+  FROM embeddings e
+  CROSS JOIN generate_series(0, 7) g(p)
+  CROSS JOIN generate_series(1, 64) i(i)),
+ dots AS (SELECT vec_id, p, sum(v * w) AS d FROM planes GROUP BY vec_id, p),
+ buckets AS (SELECT vec_id,
+             CAST(sum(CASE WHEN d > 0 THEN power(2, p) ELSE 0 END) AS BIGINT)
+             AS bucket FROM dots GROUP BY vec_id),
+ bb AS (SELECT b.vec_id, b.bucket, e.embedding
+        FROM buckets b JOIN embeddings e USING (vec_id)),
+ cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(round(list_dot_product(a.embedding, b.embedding)
+                      / (sqrt(list_dot_product(a.embedding, a.embedding))
+                         * sqrt(list_dot_product(b.embedding, b.embedding)))
+                      * 1e6, 0) AS BIGINT) AS cosine_e6
+          FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine_e6 FROM cand WHERE cosine_e6 >= 300000
+ORDER BY id_a, id_b"""
+
+
 # --------------------------------------------------------------------------
 # Relational breadth (Catalyst-native: joins/aggs/windows)
 # --------------------------------------------------------------------------
@@ -1653,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_fullscan_top20": q_linear_fullscan,
         "page_summary": q_page_summary,
         "simhash_dup_pairs": q_simhash_pairs,
+        "emb_near_dup_pairs": q_emb_near_dup,
     }
 
 
@@ -1696,4 +1744,5 @@ def oracle_sql() -> dict[str, str]:
         "linear_fullscan_top20": SQL_LINEAR_FULLSCAN,
         "page_summary": SQL_PAGE_SUMMARY,
         "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
+        "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
     }

@@ -332,3 +332,24 @@ def test_multimodal_real_decoder_seam(spark, docs_with_dups):
             v = r["n_bytes"] % 256
             got = set(round(x, 9) for x in r["features"][:12])
             assert got == {round(v / 255.0, 9)}, r
+
+
+def test_cosine_near_dup_pairs(spark, emb_df):
+    """Embedding-cosine near-dup: the LSH-bucketed path must find the
+    planted exact copy (cosine 1.0) and agree with the exhaustive path
+    on everything it reports."""
+    from websearchengine_spark.operators.similarity import cosine_near_dup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(emb_df, threshold=0.9).collect()
+    }
+    assert (1, 49) in got and abs(got[(1, 49)] - 1.0) < 1e-9
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(emb_df, threshold=0.9, exhaustive=True).collect()
+    }
+    # bucketed results are a subset of the exhaustive truth (identical
+    # cosines), and the planted pair is always recovered
+    for k, v in got.items():
+        assert k in brute and abs(v - brute[k]) < 1e-9

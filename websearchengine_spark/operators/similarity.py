@@ -80,6 +80,57 @@ def lsh_bucket(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exhaustive: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine >= threshold and id_a < id_b.
+
+    Scale path (default): candidates come from a sign-LSH BUCKET JOIN
+    (vectors agreeing on all n_planes hyperplane signs), then exact
+    cosine verifies within buckets — pairwise work is confined to
+    buckets, never all-pairs.  Recall is governed by n_planes (each
+    plane halves the bucket; a near-dup pair at cosine c agrees on one
+    plane with prob 1 - arccos(c)/pi).  ``exhaustive=True`` switches to
+    the all-pairs self-join — the oracle path for tests/small data.
+    """
+    v = _as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    if exhaustive:
+        cand = (
+            base.alias("a")
+            .crossJoin(base.alias("b"))
+            .filter(F.col("a._id") < F.col("b._id"))
+        )
+    else:
+        buckets = lsh_bucket(emb, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
+        bb = base.join(buckets, base["_id"] == buckets[id_col]).select(
+            "_id", "_v", "bucket"
+        )
+        cand = (
+            bb.alias("a")
+            .join(bb.alias("b"), "bucket")
+            .filter(F.col("a._id") < F.col("b._id"))
+        )
+    cos = _dot(F.col("a._v"), F.col("b._v")) / (
+        _norm(F.col("a._v")) * _norm(F.col("b._v"))
+    )
+    return (
+        cand.select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def ivf_build_centroids(
     emb: DataFrame, nlist: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[list[float]]:

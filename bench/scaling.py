@@ -145,16 +145,18 @@ def main() -> None:
     best: dict[int, dict] = {}
     attempts: list[dict] = []
     for attempt in range(args.repeats):
-        # probe the machine envelope IN the same time window as this
-        # attempt's engine runs — the host's effective CPU drifts, so a
-        # probe taken minutes earlier can't bound runs taken now
-        env = cpu_envelope(args.n)
+        # probe the machine envelope BRACKETING the attempt (before each
+        # level run and after the last) — the host's effective CPU drifts
+        # minute-to-minute, so a single pre-attempt probe can undersample
+        # the window's true ceiling (normalized > 1 artifacts).  The
+        # window ceiling is the MAX probe the box showed in the window.
+        probes = [cpu_envelope(args.n)]
         print(
-            f"attempt {attempt + 1} envelope {n}->{n4} cores: "
-            f"ALU {env['alu']:.2f}x, bandwidth {env['bandwidth']:.2f}x",
+            f"attempt {attempt + 1} probe#1 {n}->{n4}: "
+            f"ALU {probes[0]['alu']:.2f}x, bw {probes[0]['bandwidth']:.2f}x",
             flush=True,
         )
-        pair: dict = {"envelope": env}
+        pair: dict = {}
         for cores in levels:  # interleaved so both levels see the same host weather
             out_root = os.path.join(args.workdir, f"idx_{cores}")
             if os.path.exists(out_root):
@@ -165,6 +167,20 @@ def main() -> None:
             pair[f"local{cores}"] = r
             if cores not in best or r["build_sec"] < best[cores]["build_sec"]:
                 best[cores] = r
+            probes.append(cpu_envelope(args.n))
+            print(
+                f"attempt {attempt + 1} probe#{len(probes)}: "
+                f"bw {probes[-1]['bandwidth']:.2f}x",
+                flush=True,
+            )
+        env = {
+            "alu": max(p["alu"] for p in probes),
+            "bandwidth": max(p["bandwidth"] for p in probes),
+            "probes": [
+                {k: round(v, 3) for k, v in p.items()} for p in probes
+            ],
+        }
+        pair["envelope"] = env
         pair["speedup"] = round(
             pair[f"local{n4}"]["docs_per_sec"] / pair[f"local{n}"]["docs_per_sec"], 3
         )

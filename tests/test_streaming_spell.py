@@ -199,3 +199,68 @@ def test_page_summary_first_50_terms(spark, spell_index, corpus_pdf):
 
     # a doc with fewer than 50 terms returns them all; bogus id -> empty
     assert page_summary(spark, spell_index, -1).count() == 0
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """Round 2: custom stateful operator (applyInPandasWithState) —
+    event-time session windows close intra-batch on gaps and via
+    EventTimeTimeout when the watermark passes last + gap."""
+    from websearchengine_spark.streaming.clicklog import sessionize_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tmp_path / "sess_src"
+    d.mkdir()
+    file1 = [
+        _click("s1", "a", 1, "click", 0),
+        _click("s1", "b", 2, "click", 30),
+        _click("s1", "c", 3, "click", 300),   # >60s gap: closes (0, 30)
+        _click("s2", "a", 4, "click", 0),
+        _click("s2", "b", 5, "click", 10),
+        _click("s2", "c", 6, "click", 40),
+        _click("s3", "a", 7, "click", 0),
+        _click("s3", "a", 8, "click", 20),
+    ]
+    file2 = [  # one hour later: watermark advances, old sessions time out
+        _click("s1", "z", 9, "click", 3600),
+        _click("s1", "z", 10, "click", 3610),
+    ]
+    import json as _json
+
+    with open(d / "f1.json", "w") as f:
+        for e in file1:
+            f.write(_json.dumps(e) + "\n")
+    with open(d / "f2.json", "w") as f:
+        for e in file2:
+            f.write(_json.dumps(e) + "\n")
+
+    sess = sessionize_stream(spark, str(d), gap_sec=60, max_files_per_trigger=1)
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT session_id, session_start, session_end, n_events"
+        " FROM sess_test ORDER BY session_id, session_start"
+    ).collect()
+    got = [
+        (
+            r["session_id"],
+            int(r["session_start"].timestamp() - T0.replace(
+                tzinfo=dt.timezone.utc).timestamp()),
+            int(r["session_end"].timestamp() - T0.replace(
+                tzinfo=dt.timezone.utc).timestamp()),
+            r["n_events"],
+        )
+        for r in rows
+    ]
+    # closed sessions only; the file-2 session (3600..3610) stays open
+    assert got == [
+        ("s1", 0, 30, 2),     # closed intra-batch by the 300s event
+        ("s1", 300, 300, 1),  # closed when file-2 events arrive (gap)
+        ("s2", 0, 40, 3),     # closed by event-time timeout
+        ("s3", 0, 20, 2),     # closed by event-time timeout
+    ]

@@ -79,6 +79,86 @@ def streaming_query_counts(
     )
 
 
+def sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    gap_sec: int = SESSION_WINDOW_SEC,
+    watermark: str = "0 seconds",
+    max_files_per_trigger: int | None = None,
+):
+    """CUSTOM STATEFUL streaming operator via ``applyInPandasWithState``:
+    event-time session windows per session_id with a ``gap_sec``
+    inactivity gap.  Emits one row per CLOSED session —
+    (session_id, session_start, session_end, n_events).
+
+    State per key: (start, last, n) in epoch seconds.  A session closes
+    either (a) intra-batch, when a later event in the same batch is more
+    than gap_sec after it, or (b) by EventTimeTimeout, when the
+    watermark passes last_event + gap_sec.  Semantics caveat (same as
+    the reference's wall-clock sessionizer, SessionHandler.java:18-19):
+    per-key events are assumed ordered ACROSS batches; a cross-batch
+    late event splits rather than reopens a session.
+
+    Returns the streaming DataFrame (attach your own sink)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "session_id string, session_start timestamp, session_end timestamp,"
+        " n_events long"
+    )
+    state_schema = "start double, last double, n long"
+    gap = float(gap_sec)
+
+    def fn(key, pdfs, state: GroupState):
+        sid = key[0]
+        closed: list[tuple[float, float, int]] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((start, last, n))
+            state.remove()
+        else:
+            ts: list[float] = []
+            for pdf in pdfs:
+                ts.extend(t.timestamp() for t in pdf["ts"])
+            ts.sort()
+            if not ts:
+                return
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = ts[0], ts[0], 0
+            for t in ts:
+                if n > 0 and t - last > gap:
+                    closed.append((start, last, n))
+                    start, n = t, 0
+                last = t
+                n += 1
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(int((last + gap) * 1000))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "session_id": [sid] * len(closed),
+                    "session_start": [pd.to_datetime(a, unit="s") for a, _, _ in closed],
+                    "session_end": [pd.to_datetime(b, unit="s") for _, b, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    reader = spark.readStream.schema(CLICK_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.json(source_dir).withWatermark("ts", watermark)
+    return src.groupBy("session_id").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def session_query_pairs(clicks: DataFrame) -> DataFrame:
     """Q4 pair extraction: consecutive queries in one session <= 60s
     apart (distinct adjacent queries), one pair row per occurrence."""

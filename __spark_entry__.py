@@ -815,6 +815,44 @@ WITH planes AS (
 SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket"""
 
 
+def q_next_word(spark, sf_dir):
+    """Q6 next-word suggestion (nextFollowing,
+    IndexerInvertedOccurrence.java:913-957): count the tokens that
+    FOLLOW occurrences of the phrase 'data stream', top-5 by
+    (n desc, word asc)."""
+    base = _docs(spark, sf_dir).select("doc_id", _tok_expr().alias("toks"))
+    tri = base.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks)-2, 0)),"
+                " (t, i) -> struct(t AS w0, toks[i+1] AS w1, toks[i+2] AS w2))"
+            )
+        ).alias("g")
+    ).select("g.w0", "g.w1", "g.w2")
+    return (
+        tri.filter((F.col("w0") == "data") & (F.col("w1") == "stream"))
+        .groupBy(F.col("w2").alias("next_word"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("next_word"))
+        .limit(5)
+    )
+
+
+SQL_NEXT_WORD = """
+WITH base AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+ tri AS (SELECT toks[i] AS w0, toks[i + 1] AS w1, toks[i + 2] AS w2
+         FROM (SELECT toks,
+                      unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+                          AS i
+               FROM base WHERE len(toks) > 2))
+SELECT w2 AS next_word, count(*) AS n FROM tri
+WHERE w0 = 'data' AND w1 = 'stream'
+GROUP BY w2 ORDER BY n DESC, next_word LIMIT 5"""
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs through the REAL bucketed operator
     (similarity.cosine_near_dup_pairs): sign-LSH bucket join -> exact
@@ -1701,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_summary": q_page_summary,
         "simhash_dup_pairs": q_simhash_pairs,
         "emb_near_dup_pairs": q_emb_near_dup,
+        "next_word_top5": q_next_word,
     }
 
 
@@ -1745,4 +1784,5 @@ def oracle_sql() -> dict[str, str]:
         "page_summary": SQL_PAGE_SUMMARY,
         "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
         "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
+        "next_word_top5": SQL_NEXT_WORD,
     }

@@ -1089,17 +1089,38 @@ _SQL_STOPLIST = ", ".join(
 )
 
 
-def q_prf_expansion(spark, sf_dir):
-    """A7/Q1 (QueryHandler.java:397-497): top-10 BM25 docs -> term mass
-    over those docs -> top-5 non-stopword terms, prob renormalized."""
-    # re-sort before the tighter limit: limit() on an already-limited sort
-    # does not itself guarantee order
-    top10 = (
-        q_bm25_topk(spark, sf_dir)
+def _bm25_topk_for_terms(spark, sf_dir, terms, k):
+    """Top-k doc_ids by conjunctive BM25 over ``terms`` (rounded-score
+    ordering, doc_id tie-break) — the candidate feeder for PRF."""
+    toks = _toks(spark, sf_dir).filter(F.col("term").isin(terms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = q_doc_len(spark, sf_dir)
+    stats = q_corpus_stats(spark, sf_dir).collect()[0]
+    n, avg_dl = stats["num_docs"], stats["total_tf"] / stats["num_docs"]
+    dfs = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    cand = _conjunctive(spark, sf_dir, terms)
+    idf = F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    return (
+        tf.join(cand, "doc_id")
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "_s",
+            idf
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doc_len") / F.lit(avg_dl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
+        .limit(k)
         .select("doc_id")
     )
+
+
+def _prf_df(spark, sf_dir, terms):
+    """(term, prob) PRF expansion for a query given by ``terms``."""
+    top10 = _bm25_topk_for_terms(spark, sf_dir, terms, 10)
     toks = _toks(spark, sf_dir).join(F.broadcast(top10), "doc_id")
     mass = toks.groupBy("term").agg(F.count("*").alias("mass"))
     top_terms = (
@@ -1118,16 +1139,24 @@ def q_prf_expansion(spark, sf_dir):
     )
 
 
-SQL_PRF_EXPANSION = (
-    _TOKS_CTE
-    + f""",
+def q_prf_expansion(spark, sf_dir):
+    """A7/Q1 (QueryHandler.java:397-497): top-10 BM25 docs -> term mass
+    over those docs -> top-5 non-stopword terms, prob renormalized."""
+    return _prf_df(spark, sf_dir, QUERY_TERMS)
+
+
+def _sql_prf(terms) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _TOKS_CTE
+        + f""",
  dl AS ({SQL_DOC_LEN}),
  st AS (SELECT count(*) AS n, avg(doc_len) AS avg_dl FROM dl),
  tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-        WHERE term IN ('data','stream','join') GROUP BY doc_id, term),
+        WHERE term IN ({tl}) GROUP BY doc_id, term),
  dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
-         WHERE term IN ('data','stream','join') GROUP BY term),
- cand AS ({_sql_conjunctive(QUERY_TERMS)}),
+         WHERE term IN ({tl}) GROUP BY term),
+ cand AS ({_sql_conjunctive(terms)}),
  top10 AS (SELECT tf.doc_id,
         round(sum(ln((st.n - dfs.df + 0.5)/(dfs.df + 0.5) + 1.0)
               * (tf.tf * 2.2)
@@ -1145,7 +1174,106 @@ SQL_PRF_EXPANSION = (
  tot AS (SELECT sum(mass) AS t FROM sel)
  SELECT term, round(mass * 1.0 / tot.t, 6) AS prob
  FROM sel CROSS JOIN tot ORDER BY prob DESC, term"""
+    )
+
+
+SQL_PRF_EXPANSION = _sql_prf(QUERY_TERMS)
+
+
+def q_bhattacharyya(spark, sf_dir):
+    """Q2 (Bhattacharyya.java:118-148): beta(q1, q2) = sum over shared
+    expansion terms of sqrt(p1 * p2) — expansions are the PRF
+    distributions for 'data stream join' and 'data stream'."""
+    a = _prf_df(spark, sf_dir, QUERY_TERMS).select("term", F.col("prob").alias("pa"))
+    b = _prf_df(spark, sf_dir, QL_TERMS).select("term", F.col("prob").alias("pb"))
+    return a.join(b, "term").agg(
+        F.round(F.coalesce(F.sum(F.sqrt(F.col("pa") * F.col("pb"))), F.lit(0.0)), 6)
+        .alias("beta")
+    )
+
+
+SQL_BHATTACHARYYA = (
+    f"SELECT round(coalesce(sum(sqrt(a.prob * b.prob)), 0.0), 6) AS beta"
+    f" FROM ({_sql_prf(QUERY_TERMS)}) a JOIN ({_sql_prf(QL_TERMS)}) b"
+    f" USING (term)"
 )
+
+
+def q_ql_fullscan(spark, sf_dir):
+    """R4 ql fullscan (SignalFactory.java:14-88): score EVERY doc with
+    exp(sum_q ln(0.5*tf/len + 0.5*ctf/total)); docs missing a query term
+    use the collection term (tf=0).  Top-20, RAW whitespace tokens (the
+    fullscan indexer does not lowercase)."""
+    docs = _docs(spark, sf_dir)
+    toks_arr = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    base = docs.select("doc_id", toks_arr.alias("toks"))
+    bt = base.select("doc_id", F.explode("toks").alias("term"))
+    srow = base.agg(F.sum(F.size("toks")).alias("total")).collect()[0]
+    total = float(srow["total"])
+    import math as _m
+
+    ctfs = {
+        r["term"]: r["ctf"]
+        for r in bt.filter(F.col("term").isin(_FS_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("ctf"))
+        .collect()
+    }
+    ql_base = sum(_m.log(0.5 * ctfs[t] / total) for t in _FS_TERMS)
+    qd = spark.createDataFrame(
+        [(t, float(ctfs[t])) for t in _FS_TERMS], "term string, ctf double"
+    )
+    dl = base.select("doc_id", F.size("toks").alias("body_len"))
+    adj = (
+        bt.filter(F.col("term").isin(_FS_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(qd), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(0.5 * F.col("tf") / F.col("body_len") + 0.5 * F.col("ctf") / F.lit(total))
+                - F.log(0.5 * F.col("ctf") / F.lit(total))
+            ).alias("ql_adj")
+        )
+    )
+    return (
+        dl.join(adj, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.exp(F.lit(ql_base) + F.coalesce("ql_adj", F.lit(0.0))) * 1e9, 6
+            ).alias("score_e9"),
+        )
+        .orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_QL_FULLSCAN = """
+WITH base AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+ t AS (SELECT doc_id, unnest(toks) AS term FROM base),
+ dl AS (SELECT doc_id, len(toks) AS body_len FROM base),
+ st AS (SELECT (SELECT sum(body_len) FROM dl) * 1.0 AS total),
+ q(term) AS (VALUES ('data'), ('stream')),
+ ctfs AS (SELECT q.term, count(*) * 1.0 AS ctf FROM t JOIN q USING (term)
+          GROUP BY q.term),
+ qb AS (SELECT sum(ln(0.5 * ctf / st.total)) AS ql_base
+        FROM ctfs CROSS JOIN st),
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+ adj AS (SELECT tf.doc_id,
+                sum(ln(0.5 * tf.tf / dl.body_len + 0.5 * ctfs.ctf / st.total)
+                    - ln(0.5 * ctfs.ctf / st.total)) AS ql_adj
+         FROM tf JOIN ctfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         GROUP BY tf.doc_id)
+SELECT dl.doc_id,
+       round(exp(qb.ql_base + coalesce(adj.ql_adj, 0)) * 1e9, 6) AS score_e9
+FROM dl LEFT JOIN adj USING (doc_id) CROSS JOIN qb
+ORDER BY score_e9 DESC, doc_id LIMIT 20"""
 
 
 def q_session_pmi(spark, sf_dir):
@@ -1740,6 +1868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": q_simhash_pairs,
         "emb_near_dup_pairs": q_emb_near_dup,
         "next_word_top5": q_next_word,
+        "bhattacharyya": q_bhattacharyya,
+        "ql_fullscan_top20": q_ql_fullscan,
     }
 
 
@@ -1785,4 +1915,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
         "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
         "next_word_top5": SQL_NEXT_WORD,
+        "bhattacharyya": SQL_BHATTACHARYYA,
+        "ql_fullscan_top20": SQL_QL_FULLSCAN,
     }

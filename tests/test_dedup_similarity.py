@@ -353,3 +353,34 @@ def test_cosine_near_dup_pairs(spark, emb_df):
     # cosines), and the planted pair is always recovered
     for k, v in got.items():
         assert k in brute and abs(v - brute[k]) < 1e-9
+
+
+def test_hot_bucket_cap(spark):
+    """Skew guard: a mega-cluster of identical docs must not explode the
+    bucket self-join — over-cap buckets are dropped before pairing."""
+    from websearchengine_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_duplicate_pairs,
+    )
+
+    rows = [(i, "identical spam boilerplate page content here") for i in range(12)]
+    rows += [(100, "a genuinely unique document about salsa"),
+             (101, "a genuinely unique document about salsa!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # uncapped: the 12-doc cluster yields all 66 pairs (plus the planted pair)
+    full = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert sum(1 for a, b in full if a < 12 and b < 12) == 66
+    # capped at 10: the mega-cluster is dropped, the small pair survives
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10).collect()
+    }
+    assert not any(a < 12 and b < 12 for a, b in capped)
+    assert (100, 101) in capped
+
+    sp = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_duplicate_pairs(docs, max_hamming=2, max_bucket_size=10).collect()
+    }
+    assert not any(a < 12 and b < 12 for a, b in sp)

@@ -83,6 +83,20 @@ def minhash_signatures(
     )
 
 
+def _drop_hot_buckets(df: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """Skew guard for bucket self-joins: a bucket of m members yields
+    m^2/2 pairs, so one hot bucket (boilerplate page, empty doc, spam
+    cluster) can dominate the whole job at corpus scale.  Buckets larger
+    than ``cap`` are dropped BEFORE the join — their members are
+    near-identical mega-clusters that exact dedup already collapses.
+    The count join is on the same key as the subsequent self-join, so it
+    reuses the co-partitioning."""
+    if cap is None:
+        return df
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("_bn"))
+    return df.join(counts, key_cols).filter(F.col("_bn") <= cap).drop("_bn")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -90,6 +104,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     shingle_k: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -97,6 +112,9 @@ def minhash_lsh_pairs(
     bucket become a candidate pair; the pair's estimated Jaccard is the
     fraction of agreeing minhashes; pairs >= threshold survive.
     Returns (doc_a, doc_b, jaccard_est) with doc_a < doc_b.
+
+    ``max_bucket_size``: optional hot-bucket cap (see _drop_hot_buckets)
+    — the quadratic-blowup guard for web-scale corpora.
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, text_col, n_hashes, shingle_k).persist()
@@ -117,6 +135,7 @@ def minhash_lsh_pairs(
             ],
         ).alias("bucket"),
     )
+    banded = _drop_hot_buckets(banded, ["bucket"], max_bucket_size)
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"), "bucket"
     )
@@ -182,6 +201,7 @@ def simhash_duplicate_pairs(
     text_col: str = "text",
     bits: int = 16,
     max_hamming: int = 0,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -221,6 +241,7 @@ def simhash_duplicate_pairs(
     banded = s.select(
         "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "simhash", "band.band_id", "band.band_bits")
+    banded = _drop_hot_buckets(banded, ["band_id", "band_bits"], max_bucket_size)
 
     a = banded.select(
         F.col("doc_id").alias("doc_a"),

@@ -87,6 +87,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exhaustive: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine >= threshold and id_a < id_b.
@@ -112,6 +113,10 @@ def cosine_near_dup_pairs(
         bb = base.join(buckets, base["_id"] == buckets[id_col]).select(
             "_id", "_v", "bucket"
         )
+        if max_bucket_size is not None:
+            from websearchengine_spark.operators.dedup import _drop_hot_buckets
+
+            bb = _drop_hot_buckets(bb, ["bucket"], max_bucket_size)
         cand = (
             bb.alias("a")
             .join(bb.alias("b"), "bucket")

@@ -908,6 +908,68 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def q_tpch_q14ish(spark, sf_dir):
+    """TPC-H Q14-flavored promotion effect: PROMO revenue share per
+    brand over a one-year ship window — lineitem ⋈ broadcast(part)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_TPCH_Q14ISH = """
+SELECT p_brand,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY p_brand ORDER BY p_brand"""
+
+
+def q_region_rollup(spark, sf_dir):
+    """Customers per region with average account balance —
+    customer ⋈ nation ⋈ region (both dims broadcast)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name, count(*) AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name"""
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     return (
@@ -1870,6 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_word_top5": q_next_word,
         "bhattacharyya": q_bhattacharyya,
         "ql_fullscan_top20": q_ql_fullscan,
+        "tpch_q14ish": q_tpch_q14ish,
+        "region_rollup": q_region_rollup,
     }
 
 
@@ -1917,4 +1981,6 @@ def oracle_sql() -> dict[str, str]:
         "next_word_top5": SQL_NEXT_WORD,
         "bhattacharyya": SQL_BHATTACHARYYA,
         "ql_fullscan_top20": SQL_QL_FULLSCAN,
+        "tpch_q14ish": SQL_TPCH_Q14ISH,
+        "region_rollup": SQL_REGION_ROLLUP,
     }

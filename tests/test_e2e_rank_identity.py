@@ -80,3 +80,22 @@ def test_shard_count_invariance(spark, corpus_pdf, oracle_index, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (d1, s1), (d2, s2) in zip(got, want):
             assert abs(s1 - s2) < 1e-9
+
+
+def test_search_front_door_routes_both_paths(spark, built_index, oracle_index):
+    """search() is the public entry: bm25 plain -> WAND kernel, everything
+    else -> DataFrame path; results must be path-independent."""
+    from websearchengine_spark.operators.query import search
+
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(spark, built_index, "web search", ranker="bm25", k=5).collect()
+    ]
+    want = [(d, round(s, 9)) for d, s in oracle_index.bm25("web search", 5)]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+    comp = search(spark, built_index, '"data mining"', ranker="comprehensive", k=5).collect()
+    assert len(comp) > 0
+    assert [r["doc_id"] for r in comp] == [
+        d for d, _ in oracle_index.query('"data mining"', ranker="comprehensive", k=5)
+    ]

@@ -908,6 +908,53 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def q_history_suggestions(spark, sf_dir):
+    """querySearch 'history' branch (IndexerInvertedOccurrence.java:
+    830-840) over the events log: past 'queries' (event_types)
+    case-insensitively containing a substring, most frequent first."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.lower(F.col("event_type")).contains("e"))
+        .groupBy(F.col("event_type").alias("query"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("query"))
+        .limit(10)
+    )
+
+
+SQL_HISTORY_SUGGESTIONS = """
+SELECT event_type AS query, count(*) AS n
+FROM events WHERE contains(lower(event_type), 'e')
+GROUP BY event_type ORDER BY n DESC, query LIMIT 10"""
+
+
+def q_title_hit_count(spark, sf_dir):
+    """R8 fullscan title-hit (RankerFullScan.java:38-61) with title :=
+    the doc's first 3 raw tokens: how many docs score 1.0 for the query
+    (any query token among the title tokens)."""
+    base = _docs(spark, sf_dir).select(
+        F.slice(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""), 1, 3
+        ).alias("title_toks")
+    )
+    qtoks = F.array(*[F.lit(t) for t in _FS_TERMS])
+    return base.agg(
+        F.sum(F.when(F.arrays_overlap("title_toks", qtoks), 1).otherwise(0))
+        .cast("long")
+        .alias("n_title_hits")
+    )
+
+
+SQL_TITLE_HIT_COUNT = """
+WITH base AS (SELECT list_slice(list_filter(
+                  regexp_split_to_array(text, '\\s+'), x -> x <> ''), 1, 3)
+                  AS title_toks
+              FROM documents)
+SELECT CAST(sum(CASE WHEN list_has_any(title_toks, ['data', 'stream'])
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_title_hits
+FROM base"""
+
+
 def q_tpch_q14ish(spark, sf_dir):
     """TPC-H Q14-flavored promotion effect: PROMO revenue share per
     brand over a one-year ship window — lineitem ⋈ broadcast(part)."""
@@ -1934,6 +1981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ql_fullscan_top20": q_ql_fullscan,
         "tpch_q14ish": q_tpch_q14ish,
         "region_rollup": q_region_rollup,
+        "history_suggestions": q_history_suggestions,
+        "title_hit_count": q_title_hit_count,
     }
 
 
@@ -1983,4 +2032,6 @@ def oracle_sql() -> dict[str, str]:
         "ql_fullscan_top20": SQL_QL_FULLSCAN,
         "tpch_q14ish": SQL_TPCH_Q14ISH,
         "region_rollup": SQL_REGION_ROLLUP,
+        "history_suggestions": SQL_HISTORY_SUGGESTIONS,
+        "title_hit_count": SQL_TITLE_HIT_COUNT,
     }

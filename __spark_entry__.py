@@ -1559,7 +1559,7 @@ def q_eval_metrics(spark, sf_dir):
 
 
 SQL_EVAL_METRICS = (
-    _TOKS_CTE.replace("WITH toks AS", "WITH toks AS")
+    _TOKS_CTE
     + f""",
  dl AS ({SQL_DOC_LEN}),
  ranked AS (SELECT doc_id,
@@ -1907,15 +1907,27 @@ def q_bm25_index_path(spark, sf_dir):
     """
     from websearchengine_spark.operators.topk import wand_topk
 
-    # Fetch extra then re-sort on the ROUNDED score + doc_id so the ordering
-    # key matches the oracle exactly: two near-tied docs at the k boundary
-    # can round equal, and the oracle breaks that tie by doc_id.
+    # The oracle orders by (ROUNDED score desc, doc_id asc), so the Spark
+    # side must rank on the same key — and must fetch the ENTIRE rounded-tie
+    # cluster at the k boundary (a doc outside the exact top-k can round-tie
+    # the k-th score and win the doc_id tie-break).  Grow the fetch until
+    # the 20th rounded score is strictly above the last fetched one, which
+    # proves the boundary cluster is fully contained.
     root = _index_for(spark, sf_dir)
-    out = wand_topk(spark, root, " ".join(QUERY_TERMS), k=40)
-    return (
-        out.select("doc_id", F.round("score", 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
+    k = 40
+    while True:
+        rows = (
+            wand_topk(spark, root, " ".join(QUERY_TERMS), k=k)
+            .select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        if len(rows) < k or rows[19]["score"] > rows[-1]["score"]:
+            break
+        k *= 4
+    return spark.createDataFrame(
+        [(r["doc_id"], float(r["score"])) for r in rows[:20]],
+        "doc_id long, score double",
     )
 
 

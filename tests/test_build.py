@@ -213,3 +213,22 @@ def test_positionless_build_smaller_and_rank_identical(
 
     with _pytest.raises(ValueError, match="positionless"):
         run_query(spark, root_nopos, '"data mining"', ranker="bm25", k=5).collect()
+
+
+def test_positionless_batch_phrase_raises(spark, corpus_pdf, tmp_path_factory):
+    """Batch phrase queries on a positionless index must fail with the
+    clear ValueError, not an opaque executor IndexError."""
+    import pytest as _pytest
+
+    from websearchengine_spark.operators.build import build_index
+    from websearchengine_spark.operators.topk import wand_topk_batch
+
+    root = str(tmp_path_factory.mktemp("idx_nopos_batch"))
+    build_index(
+        spark, spark.createDataFrame(corpus_pdf), root,
+        n_shards=3, n_groups=2, positions=False,
+    )
+    with _pytest.raises(ValueError, match="positionless"):
+        wand_topk_batch(spark, root, ['"data mining"', "google"], k=5).collect()
+    # plain queries still work
+    assert wand_topk_batch(spark, root, ["google"], k=5).count() > 0

@@ -217,10 +217,12 @@ def simhash_duplicate_pairs(
     if max_hamming == 0:
         a = s.select(F.col("doc_id").alias("doc_a"), "simhash")
         b = s.select(F.col("doc_id").alias("doc_b"), "simhash")
+        # same schema as the banded path so callers can vary max_hamming
+        # without branching: (doc_a, doc_b, hamming)
         return (
             a.join(b, "simhash")
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "simhash")
+            .select("doc_a", "doc_b", F.lit(0).alias("hamming"))
         )
 
     n_bands = max_hamming + 1

@@ -87,11 +87,13 @@ def extract_features(
     payloads get frame-sampled first (``sample_frames``) and average the
     per-frame features.
 
-    ``image_decoder``/``frame_sampler`` are the REAL-DECODER SEAM: pass
-    a callable (payload -> HxWxC array / payload -> list of arrays) to
-    replace the stubs.  They must be passed here (not monkey-patched on
-    the module) because the UDF closure is what ships to executors — a
-    module global set on the driver never reaches the workers.
+    ``image_decoder``/``frame_sampler`` are the REAL-DECODER SEAM:
+    ``image_decoder(payload) -> HxWxC array`` and
+    ``frame_sampler(payload, n_frames=3) -> list of arrays`` (the
+    sampler IS called with the ``n_frames`` keyword).  They must be
+    passed here (not monkey-patched on the module) because the UDF
+    closure is what ships to executors — a module global set on the
+    driver never reaches the workers.
     """
     dec = image_decoder if image_decoder is not None else decode_image
     sampler = frame_sampler if frame_sampler is not None else (

@@ -328,12 +328,10 @@ def wand_topk(
     per_shard = rest.select("shard", "term", "blocks").groupBy("shard").applyInPandas(
         kernel, schema="doc_id long, score double"
     )
+    # (when phase-1 found no candidates in its shard there is nothing to union)
     if phase1_out:
         p1 = spark.createDataFrame(phase1_out, "doc_id long, score double")
         per_shard = per_shard.unionByName(p1)
-    elif phase1_shard is not None:
-        # shard 0 had no candidates; nothing to union
-        pass
     out = (
         per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
@@ -468,6 +466,13 @@ def wand_topk_batch(
         phrases = [tuple(ws) for ws in token_words if len(ws) > 1]
         if qw:
             specs.append((qid, qw, phrases))
+    if any(ph for _, _, ph in specs) and not store.read_manifest().get(
+        "config", {}
+    ).get("positions", True):
+        raise ValueError(
+            "this index was built positionless (positions=False, doconly-"
+            "style); phrase queries in the batch need a positional build"
+        )
     all_terms = sorted({t for _, qw, _ in specs for t in qw})
     if not all_terms:
         return spark.createDataFrame(

@@ -109,6 +109,17 @@ def sessionize_stream(
     )
     state_schema = "start double, last double, n long"
     gap = float(gap_sec)
+    # Arrow hands the UDF tz-NAIVE timestamps rendered in the SESSION
+    # timezone; capture it here so the epoch math (and the timeout
+    # timestamp, which the engine compares against the true-epoch
+    # watermark) is correct for any session tz, not just UTC.
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+
+    def _epoch(t) -> float:
+        stamp = pd.Timestamp(t)
+        if stamp.tzinfo is None:
+            stamp = stamp.tz_localize(session_tz)
+        return stamp.timestamp()
 
     def fn(key, pdfs, state: GroupState):
         sid = key[0]
@@ -120,7 +131,7 @@ def sessionize_stream(
         else:
             ts: list[float] = []
             for pdf in pdfs:
-                ts.extend(t.timestamp() for t in pdf["ts"])
+                ts.extend(_epoch(t) for t in pdf["ts"])
             ts.sort()
             if not ts:
                 return

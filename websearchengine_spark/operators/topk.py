@@ -217,6 +217,11 @@ LAST_WAND_STATS: dict = {}
 # total posting volume makes exact-scoring the dominant cost; below this
 # the extra phase-1 job costs more wall-clock than pruning saves.
 WAND_TWO_PHASE_MIN_POSTINGS = 200_000
+# ... and only when ONE shard's share of the query's postings fits the
+# driver comfortably (phase 1 collects that shard's blocks).  At cluster
+# scale (thousands of shards) this is never binding; it guards the
+# few-shard/low-core configurations.
+WAND_PHASE1_MAX_POSTINGS = 20_000_000
 
 
 def wand_topk(
@@ -289,7 +294,14 @@ def wand_topk(
     LAST_WAND_STATS.update(acc)
 
     if two_phase is None:
-        two_phase = sum(df_by_term.values()) >= WAND_TWO_PHASE_MIN_POSTINGS
+        total_postings = sum(df_by_term.values())
+        n_shards = int(
+            store.read_manifest().get("config", {}).get("n_shards", 1) or 1
+        )
+        two_phase = (
+            total_postings >= WAND_TWO_PHASE_MIN_POSTINGS
+            and total_postings / max(1, n_shards) <= WAND_PHASE1_MAX_POSTINGS
+        )
 
     # ---- phase 1: one shard scored driver-side -> running threshold ----
     threshold = -math.inf

@@ -99,3 +99,37 @@ def test_search_front_door_routes_both_paths(spark, built_index, oracle_index):
     assert [r["doc_id"] for r in comp] == [
         d for d, _ in oracle_index.query('"data mining"', ranker="comprehensive", k=5)
     ]
+
+
+def test_parse_cgi_args_reference_semantics():
+    """F8 (QueryHandler.java:105-155): first-'=' split, keyless params
+    skipped, invalid numbers/enums silently ignored, defaults kept."""
+    from websearchengine_spark.operators.query import parse_cgi_args
+
+    a = parse_cgi_args("query=web+search&ranker=COSINE&num=5&format=html")
+    assert a["query"] == "web+search"  # reference stores the RAW value
+    assert a["ranker"] == "cosine" and a["num"] == 5 and a["format"] == "html"
+
+    b = parse_cgi_args("query=x&num=notanint&ranker=BOGUS&format=JSON&redirect=1&orphan")
+    assert b["num"] == 10 and b["ranker"] == "none" and b["format"] == "text"
+    assert b["redirect"] is True and b["query"] == "x"
+
+    c = parse_cgi_args("query=a%20b+c&numdocs=7&numterms=2", url_decode=True)
+    assert c["query"] == "a b c" and c["numdocs"] == 7 and c["numterms"] == 2
+    # value containing '=' splits only on the first
+    d = parse_cgi_args("query=a=b")
+    assert d["query"] == "a=b"
+
+
+def test_search_uri_dispatch(spark, built_index, oracle_index):
+    from websearchengine_spark.operators.query import search_uri
+
+    rows = search_uri(spark, built_index, "query=web+search&ranker=bm25&num=3").collect()
+    assert [r["doc_id"] for r in rows] == [d for d, _ in oracle_index.bm25("web search", 3)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="none"):
+        search_uri(spark, built_index, "query=x")
+    with _pytest.raises(ValueError, match="fullscan corpus"):
+        search_uri(spark, built_index, "query=x&ranker=cosine")

@@ -397,6 +397,79 @@ def search(
     return run_query(spark, index_root, query, ranker=ranker, k=k)
 
 
+CGI_RANKER_TYPES = frozenset(
+    ["none", "fullscan", "conjunctive", "favorite", "cosine", "phrase",
+     "ql", "linear", "comprehensive",
+     "bm25"]  # engine extension beyond the reference's RankerType enum
+)
+CGI_OUTPUT_FORMATS = frozenset(["text", "html"])
+
+
+def parse_cgi_args(uri_query: str, url_decode: bool = False) -> dict:
+    """F8: the reference's CGI-argument parse (QueryHandler.java:105-155,
+    CgiArguments): split on '&', split each param on the FIRST '=' only
+    (keyless params skipped), keys lowercased, invalid numbers/enums
+    silently ignored ("search engine should never fail upon invalid user
+    input").  Defaults: query='', num=10, numdocs=10, numterms=5,
+    ranker='none', format='text', redirect=False.
+
+    ``url_decode=True`` additionally percent/plus-decodes values — an
+    extension the reference omits (it stores the raw value)."""
+    from urllib.parse import unquote_plus
+
+    out = {
+        "query": "",
+        "num": 10,
+        "numdocs": 10,
+        "numterms": 5,
+        "ranker": "none",
+        "format": "text",
+        "redirect": False,
+    }
+    for param in uri_query.split("&"):
+        keyval = param.split("=", 1)
+        if len(keyval) < 2:
+            continue
+        key, val = keyval[0].lower(), keyval[1]
+        if url_decode:
+            val = unquote_plus(val)
+        if key == "query":
+            out["query"] = val
+        elif key == "redirect":
+            out["redirect"] = True
+        elif key in ("num", "numdocs", "numterms"):
+            try:
+                out[key] = int(val)
+            except ValueError:
+                pass
+        elif key == "ranker":
+            if val.lower() in CGI_RANKER_TYPES:
+                out["ranker"] = val.lower()
+        elif key == "format":
+            if val.lower() in CGI_OUTPUT_FORMATS:
+                out["format"] = val.lower()
+    return out
+
+
+def search_uri(spark: SparkSession, index_root: str, uri_query: str) -> DataFrame:
+    """Serve a raw '?query=...&ranker=...&num=...' string against the
+    index — the /search front door one level up from search().  Rankers
+    needing the TSV fullscan corpus (fullscan/cosine/phrase/ql/linear)
+    live in operators/fullscan.py and need a prepared corpus, so this
+    dispatcher covers the indexed rankers; 'none' raises like the
+    reference's 'ranker type none' error page."""
+    args = parse_cgi_args(uri_query, url_decode=True)
+    ranker = args["ranker"]
+    if ranker == "none":
+        raise ValueError("ranker type none: specify ranker=...")
+    if ranker not in ("conjunctive", "favorite", "comprehensive", "bm25"):
+        raise ValueError(
+            f"ranker '{ranker}' needs the fullscan corpus path "
+            "(operators/fullscan.py run_fullscan_query)"
+        )
+    return search(spark, index_root, args["query"], ranker=ranker, k=args["num"])
+
+
 def page_summary(
     spark: SparkSession, index_root: str, doc_id: int, n_terms: int = 50
 ) -> DataFrame:

@@ -118,3 +118,50 @@ def test_entry_smoke(spark):
     assert "doc_id" in df.columns and "score" in df.columns
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_sessionize_subsecond_boundary(spark, tmp_path):
+    """The round-1 latent bug: a gap in (1800.0, 1801.0) must be compared
+    FRACTIONALLY on both sides — unix_timestamp truncation would split a
+    1800.5s gap on one side only.  Crafted events hit both sides of the
+    boundary."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as m
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: gap of exactly 1800.5s -> SPLITS (2 sessions)
+        (1, t0, 10),
+        (2, t0 + dt.timedelta(seconds=1800, microseconds=500000), 10),
+        # user 2: gap of 1799.5s -> does NOT split (1 session)
+        (3, t0, 20),
+        (4, t0 + dt.timedelta(seconds=1799, microseconds=500000), 20),
+        # user 3: gap of exactly 1800.0s -> does NOT split (> comparison)
+        (5, t0, 30),
+        (6, t0 + dt.timedelta(seconds=1800), 30),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    # Spark cannot read TIMESTAMP(NANOS) parquet; write microseconds
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf["event_type"] = "view"
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    d = tmp_path / "sfx"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in m.q_events_sessionize(spark, str(d)).collect()
+    }
+    assert got == {10: 2, 20: 1, 30: 1}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = {int(u): int(n) for u, n, _ in con.sql(m.SQL_EVENTS_SESSIONIZE).fetchall()}
+    con.close()
+    assert want == got

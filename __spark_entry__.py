@@ -765,10 +765,12 @@ def q_ann_cosine(spark, sf_dir):
 
 
 SQL_ANN_COSINE = """
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
-       CAST(round(list_dot_product(e.embedding, q.qv)
-             / (sqrt(list_dot_product(e.embedding, e.embedding))
+       CAST(round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(q.qv, q.qv))) * 1e6, 0) AS BIGINT)
            AS cosine_e6
 FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
@@ -1467,7 +1469,7 @@ def q_spell_candidates(spark, sf_dir):
     )
     bgs = [(i, target[i : i + 2]) for i in range(len(target) - 1)]
     bdf = spark.createDataFrame(bgs, "pos int, bigram string")
-    boundary = 1 if len(target) <= 5 else 2
+    boundary = _SPELL_MATCH_BOUNDARY  # shared with SQL_SPELL_CANDIDATES
     vb = vocab.select(
         "term",
         "freq",
@@ -1499,6 +1501,10 @@ def q_spell_candidates(spark, sf_dir):
 _SPELL_BIGRAM_VALUES = ", ".join(
     f"({i}, '{SPELL_TARGET[i:i+2]}')" for i in range(len(SPELL_TARGET) - 1)
 )
+# One shared definition of the bigram-match gate for BOTH the Spark query
+# and the oracle — interpolated into the SQL so changing SPELL_TARGET
+# can't desynchronize them (reference: SpellCorrector boundary rule).
+_SPELL_MATCH_BOUNDARY = 1 if len(SPELL_TARGET) <= 5 else 2
 
 SQL_SPELL_CANDIDATES = (
     _TOKS_CTE
@@ -1514,7 +1520,7 @@ SQL_SPELL_CANDIDATES = (
  m AS (SELECT term, freq, count(DISTINCT pos) AS matches
        FROM cb GROUP BY term, freq)
  SELECT term, freq FROM m
- WHERE matches >= 1
+ WHERE matches >= {_SPELL_MATCH_BOUNDARY}
    AND abs(length(term) - {len(SPELL_TARGET)}) < 3
    AND term <> '{SPELL_TARGET}'
    AND regexp_matches(term, '^[a-zA-Z]+$')

@@ -133,3 +133,62 @@ def test_search_uri_dispatch(spark, built_index, oracle_index):
         search_uri(spark, built_index, "query=x")
     with _pytest.raises(ValueError, match="fullscan corpus"):
         search_uri(spark, built_index, "query=x&ranker=cosine")
+
+
+def test_search_uri_dispatches_every_reference_ranker(spark, built_index):
+    """Round-3: the reference serves ALL RankerTypes from /search
+    (QueryHandler.java:297, Ranker.java:63-89) — every legal ranker value
+    must return results from the one endpoint, no ValueError.  The
+    fullscan family routes through run_fullscan_query over a supplied
+    corpus; results must match calling it directly."""
+    from tests.test_fullscan import make_tsv_corpus
+
+    from websearchengine_spark.operators.fullscan import (
+        prepare_fullscan,
+        run_fullscan_query,
+    )
+    from websearchengine_spark.operators.query import search_uri
+
+    indexed = ["conjunctive", "favorite", "comprehensive", "bm25"]
+    for ranker in indexed:
+        rows = search_uri(
+            spark, built_index, f"query=web+search&ranker={ranker}&num=3"
+        ).collect()
+        assert 0 < len(rows) <= 3, ranker
+
+    pdf = make_tsv_corpus(n_docs=40)
+    docs_fs = spark.createDataFrame(pdf)
+    prep = prepare_fullscan(docs_fs)
+    for ranker in ["fullscan", "cosine", "phrase", "ql", "linear"]:
+        got = search_uri(
+            spark,
+            built_index,
+            f"query=web+search&ranker={ranker}&num=5",
+            fullscan_prep=prep,
+        ).collect()
+        want = run_fullscan_query(spark, prep, "web search", ranker, k=5).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ], ranker
+
+    # docs_fs= auto-prepares when no prep handle is passed
+    got2 = search_uri(
+        spark, built_index, "query=google&ranker=ql&num=4", docs_fs=docs_fs
+    ).collect()
+    want2 = run_fullscan_query(spark, prep, "google", "ql", k=4).collect()
+    assert [r["doc_id"] for r in got2] == [r["doc_id"] for r in want2]
+
+
+def test_search_uri_clamps_nonpositive_num(spark, built_index):
+    """ADVICE round-3: num<=0 must fall back to the default 10, not leak
+    into limit() and raise an opaque Spark error."""
+    from websearchengine_spark.operators.query import search_uri
+
+    rows = search_uri(
+        spark, built_index, "query=web+search&ranker=bm25&num=-5"
+    ).collect()
+    assert 0 < len(rows) <= 10
+    rows0 = search_uri(
+        spark, built_index, "query=web+search&ranker=conjunctive&num=0"
+    ).collect()
+    assert 0 < len(rows0) <= 10

@@ -9,19 +9,23 @@ import duckdb
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
+# The driver gate runs at sf0.01 — precision-boundary rows (e.g. a cosine
+# that rounds differently in float32 vs float64) only appear at the larger
+# SF, so the contract must run there too (round-2 ann_cosine lesson).
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
 
-def _duck(sql: str):
+def _duck(sql: str, sf_dir: str = SF_DIR):
     """Returns (columns, rows), fetched through pandas — the same path the
     driver uses, so DuckDB HUGEINT surfaces as float64 here exactly as it
     does at the real gate (fetchall() would mask it as Python int)."""
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     pdf = con.sql(sql).df()
     con.close()
     cols = list(pdf.columns)
@@ -65,11 +69,11 @@ def contract():
     return m.queries(), m.oracle_sql()
 
 
-def _compare(spark, fn, sql, name):
-    sdf = fn(spark, SF_DIR)
+def _compare(spark, fn, sql, name, sf_dir=SF_DIR):
+    sdf = fn(spark, sf_dir)
     scols = sdf.columns
     srows = sdf.collect()
-    dcols, drows = _duck(sql)
+    dcols, drows = _duck(sql, sf_dir)
     assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
     got = _normalize([tuple(r[c] for c in dcols) for r in srows], dcols)
@@ -97,10 +101,11 @@ def _names():
     return sorted(set(m.queries()) & set(m.oracle_sql()))
 
 
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=["sf0.001", "sf0.01"])
 @pytest.mark.parametrize("name", _names())
-def test_query_matches_oracle(spark, contract, name):
+def test_query_matches_oracle(spark, contract, name, sf_dir):
     qs, os_ = contract
-    _compare(spark, qs[name], os_[name], name)
+    _compare(spark, qs[name], os_[name], name, sf_dir)
 
 
 def test_every_query_has_oracle(contract):

@@ -264,3 +264,61 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         ("s2", 0, 40, 3),     # closed by event-time timeout
         ("s3", 0, 20, 2),     # closed by event-time timeout
     ]
+
+
+def test_stateful_sessionize_non_utc_tz(spark, tmp_path):
+    """Round-3 ADVICE fix: with a non-UTC session timezone the UDF's
+    naive output timestamps are re-interpreted by Arrow in the SESSION
+    tz, so they must be rendered in that tz — a bare UTC render shifts
+    session_start/end by the tz offset.  Compare the closed session's
+    bounds against the SAME events read as a batch in the SAME session
+    tz (equal epochs <=> equal collected datetimes)."""
+    from websearchengine_spark.streaming.clicklog import (
+        CLICK_SCHEMA,
+        sessionize_stream,
+    )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        d = tmp_path / "sess_tz_src"
+        d.mkdir()
+        file1 = [
+            _click("s1", "a", 1, "click", 0),
+            _click("s1", "b", 2, "click", 30),
+        ]
+        file2 = [  # one hour later: timeout closes (0, 30)
+            _click("s1", "z", 9, "click", 3600),
+        ]
+        with open(d / "f1.json", "w") as f:
+            for e in file1:
+                f.write(json.dumps(e) + "\n")
+        with open(d / "f2.json", "w") as f:
+            for e in file2:
+                f.write(json.dumps(e) + "\n")
+
+        sess = sessionize_stream(spark, str(d), gap_sec=60, max_files_per_trigger=1)
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_tz_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT session_start, session_end FROM sess_tz_test"
+            " WHERE n_events = 2"
+        ).collect()
+        assert len(got) == 1
+        want = (
+            spark.read.schema(CLICK_SCHEMA)
+            .json(str(d))
+            .filter(F.col("doc_id").isin(1, 2))
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .collect()[0]
+        )
+        assert got[0]["session_start"] == want["lo"]
+        assert got[0]["session_end"] == want["hi"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

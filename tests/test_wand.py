@@ -158,3 +158,26 @@ def test_two_phase_equals_exhaustive(spark, built_index, query):
         for r in wand_topk(spark, built_index, query, k=10, two_phase=False).collect()
     ]
     assert a == b
+
+
+def test_explicit_two_phase_respects_driver_cap(spark, built_index, oracle_index, monkeypatch):
+    """ADVICE round-3: the phase-1 driver-collect size cap must apply on
+    the EXPLICIT two_phase=True path too — when a shard's posting share
+    exceeds it, fall back to exhaustive (identical top-k) with a warning
+    instead of collecting unbounded blocks to the driver."""
+    import warnings
+
+    from websearchengine_spark.operators import topk as topk_mod
+
+    monkeypatch.setattr(topk_mod, "WAND_PHASE1_MAX_POSTINGS", 1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_mod.wand_topk(
+                spark, built_index, "web search", k=10, two_phase=True
+            ).collect()
+        ]
+    assert any("WAND_PHASE1_MAX_POSTINGS" in str(x.message) for x in w)
+    want = [(d, round(s, 9)) for d, s in oracle_index.bm25("web search", 10)]
+    assert [d for d, _ in got] == [d for d, _ in want]

@@ -451,23 +451,50 @@ def parse_cgi_args(uri_query: str, url_decode: bool = False) -> dict:
     return out
 
 
-def search_uri(spark: SparkSession, index_root: str, uri_query: str) -> DataFrame:
-    """Serve a raw '?query=...&ranker=...&num=...' string against the
-    index — the /search front door one level up from search().  Rankers
-    needing the TSV fullscan corpus (fullscan/cosine/phrase/ql/linear)
-    live in operators/fullscan.py and need a prepared corpus, so this
-    dispatcher covers the indexed rankers; 'none' raises like the
-    reference's 'ranker type none' error page."""
+FULLSCAN_FAMILY = frozenset(["fullscan", "cosine", "phrase", "ql", "linear"])
+
+
+def search_uri(
+    spark: SparkSession,
+    index_root: str,
+    uri_query: str,
+    fullscan_prep: dict | None = None,
+    docs_fs: DataFrame | None = None,
+) -> DataFrame:
+    """Serve a raw '?query=...&ranker=...&num=...' string — the /search
+    front door one level up from search(), dispatching EVERY reference
+    RankerType from one endpoint (QueryHandler.java:297,
+    Ranker.java:63-89).  Indexed rankers (conjunctive/favorite/
+    comprehensive/bm25) go to search(); the fullscan family
+    (fullscan/cosine/phrase/ql/linear) goes to run_fullscan_query over a
+    prepared TSV-style corpus — pass either ``fullscan_prep`` (the dict
+    from prepare_fullscan, reusable across queries) or ``docs_fs`` (a
+    (doc_id, title, body, numviews) DataFrame, prepared on the fly).
+    'none' raises like the reference's 'ranker type none' error page.
+
+    Non-positive ``num`` falls back to the default 10 — the parser's
+    "never fail upon invalid user input" contract extends to values that
+    parse as ints but are meaningless as result counts."""
     args = parse_cgi_args(uri_query, url_decode=True)
     ranker = args["ranker"]
+    k = args["num"] if args["num"] > 0 else 10
     if ranker == "none":
         raise ValueError("ranker type none: specify ranker=...")
-    if ranker not in ("conjunctive", "favorite", "comprehensive", "bm25"):
-        raise ValueError(
-            f"ranker '{ranker}' needs the fullscan corpus path "
-            "(operators/fullscan.py run_fullscan_query)"
+    if ranker in FULLSCAN_FAMILY:
+        from websearchengine_spark.operators.fullscan import (
+            prepare_fullscan,
+            run_fullscan_query,
         )
-    return search(spark, index_root, args["query"], ranker=ranker, k=args["num"])
+
+        if fullscan_prep is None:
+            if docs_fs is None:
+                raise ValueError(
+                    f"ranker '{ranker}' scores the fullscan corpus: pass "
+                    "fullscan_prep= (from prepare_fullscan) or docs_fs="
+                )
+            fullscan_prep = prepare_fullscan(docs_fs)
+        return run_fullscan_query(spark, fullscan_prep, args["query"], ranker, k=k)
+    return search(spark, index_root, args["query"], ranker=ranker, k=k)
 
 
 def page_summary(

@@ -293,15 +293,31 @@ def wand_topk(
     LAST_WAND_STATS.clear()
     LAST_WAND_STATS.update(acc)
 
+    total_postings = sum(df_by_term.values())
+    n_shards = int(
+        store.read_manifest().get("config", {}).get("n_shards", 1) or 1
+    )
+    phase1_fits = (
+        total_postings / max(1, n_shards) <= WAND_PHASE1_MAX_POSTINGS
+    )
     if two_phase is None:
-        total_postings = sum(df_by_term.values())
-        n_shards = int(
-            store.read_manifest().get("config", {}).get("n_shards", 1) or 1
+        two_phase = total_postings >= WAND_TWO_PHASE_MIN_POSTINGS and phase1_fits
+    elif two_phase and not phase1_fits:
+        # The driver-side collect() cap applies on the EXPLICIT path too —
+        # a forced two_phase=True on a few-shard high-df index would
+        # otherwise OOM the driver.  Fall back to exhaustive (identical
+        # results, no phase-1 job) and say so.
+        import warnings
+
+        warnings.warn(
+            f"wand_topk: two_phase=True requested but one shard's posting "
+            f"share (~{total_postings // max(1, n_shards)}) exceeds "
+            f"WAND_PHASE1_MAX_POSTINGS={WAND_PHASE1_MAX_POSTINGS}; "
+            "running exhaustive instead",
+            RuntimeWarning,
+            stacklevel=2,
         )
-        two_phase = (
-            total_postings >= WAND_TWO_PHASE_MIN_POSTINGS
-            and total_postings / max(1, n_shards) <= WAND_PHASE1_MAX_POSTINGS
-        )
+        two_phase = False
 
     # ---- phase 1: one shard scored driver-side -> running threshold ----
     threshold = -math.inf

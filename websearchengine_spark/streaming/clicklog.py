@@ -121,6 +121,17 @@ def sessionize_stream(
             stamp = stamp.tz_localize(session_tz)
         return stamp.timestamp()
 
+    def _render(epoch_sec: float) -> "pd.Timestamp":
+        # The Arrow serializer re-interprets NAIVE UDF output in the
+        # SESSION timezone, so render epoch seconds in that tz (then
+        # strip tzinfo) — a bare to_datetime(unit='s') would be
+        # UTC-rendered and shift by the tz offset for non-UTC sessions.
+        return (
+            pd.to_datetime(epoch_sec, unit="s", utc=True)
+            .tz_convert(session_tz)
+            .tz_localize(None)
+        )
+
     def fn(key, pdfs, state: GroupState):
         sid = key[0]
         closed: list[tuple[float, float, int]] = []
@@ -151,8 +162,8 @@ def sessionize_stream(
             yield pd.DataFrame(
                 {
                     "session_id": [sid] * len(closed),
-                    "session_start": [pd.to_datetime(a, unit="s") for a, _, _ in closed],
-                    "session_end": [pd.to_datetime(b, unit="s") for _, b, _ in closed],
+                    "session_start": [_render(a) for a, _, _ in closed],
+                    "session_end": [_render(b) for _, b, _ in closed],
                     "n_events": [c for _, _, c in closed],
                 }
             )

@@ -1940,6 +1940,60 @@ def q_bm25_index_path(spark, sf_dir):
 SQL_BM25_INDEX_PATH = SQL_BM25_TOPK  # identical semantics by construction
 
 
+_DOCONLY_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_bm25_doconly_path(spark, sf_dir):
+    """The positionless build path (build_index(positions=False) —
+    doconly-style blocks, IndexerInvertedDoconly.java:140-147): BM25
+    top-20 must equal the positional index's, since plain conjunctive
+    BM25 never reads positions.  Oracle = the same SQL_BM25_TOPK."""
+    import tempfile
+
+    from websearchengine_spark.operators.topk import wand_topk
+
+    root = _DOCONLY_INDEX_CACHE.get(sf_dir)
+    if not (root and os.path.exists(os.path.join(root, "_manifest.json"))):
+        from websearchengine_spark.operators.build import build_index
+        from websearchengine_spark.session import make_pyfiles_zip
+
+        try:
+            spark.sparkContext.addPyFile(make_pyfiles_zip())
+        except Exception:
+            pass
+        root = tempfile.mkdtemp(prefix="wse_entry_idx_doconly_")
+        pages = _docs(spark, sf_dir).select(
+            F.concat(
+                F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 9, "0")
+            ).alias("url"),
+            F.col("text"),
+        )
+        build_index(
+            spark, pages, root, n_shards=8, n_groups=2,
+            analyzer="whitespace", keep_doc_terms=False, positions=False,
+        )
+        _DOCONLY_INDEX_CACHE[sf_dir] = root
+    # same rounded-tie boundary handling as q_bm25_index_path
+    k = 40
+    while True:
+        rows = (
+            wand_topk(spark, root, " ".join(QUERY_TERMS), k=k)
+            .select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        if len(rows) < k or rows[19]["score"] > rows[-1]["score"]:
+            break
+        k *= 4
+    return spark.createDataFrame(
+        [(r["doc_id"], float(r["score"])) for r in rows[:20]],
+        "doc_id long, score double",
+    )
+
+
+SQL_BM25_DOCONLY_PATH = SQL_BM25_TOPK  # positionless index, same ranking
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -1985,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "bm25_index_path": q_bm25_index_path,
+        "bm25_doconly_path": q_bm25_doconly_path,
         "prf_expansion": q_prf_expansion,
         "session_pmi": q_session_pmi,
         "spell_candidates": q_spell_candidates,
@@ -2036,6 +2091,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "bm25_index_path": SQL_BM25_INDEX_PATH,
+        "bm25_doconly_path": SQL_BM25_DOCONLY_PATH,
         "prf_expansion": SQL_PRF_EXPANSION,
         "session_pmi": SQL_SESSION_PMI,
         "spell_candidates": SQL_SPELL_CANDIDATES,

@@ -18,15 +18,23 @@ def test_build_has_single_wide_shuffle(spark, corpus_pdf):
 
     from websearchengine_spark.operators.build import analyze_pages
 
+    from websearchengine_spark.operators.build import PACK_BITS
+
     pages = spark.createDataFrame(corpus_pdf)
     analyzed = analyze_pages(pages)
     occs = analyzed.select(
-        F.lit(0).alias("doc_id"),
+        F.lit(0).cast("long").alias("doc_id"),
         F.size("tokens").alias("doc_len"),
         F.posexplode("tokens").alias("pos", "term"),
     )
-    plists = occs.groupBy("term").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "pos", "doc_len"))).alias("occ")
+    pk = F.shiftleft(F.col("doc_id"), PACK_BITS)
+    plists = occs.select(
+        "term",
+        (pk + F.col("pos")).alias("occ_p"),
+        (pk + F.col("doc_len")).alias("dl_p"),
+    ).groupBy("term").agg(
+        F.sort_array(F.collect_list("occ_p")).alias("occs"),
+        F.sort_array(F.collect_set("dl_p")).alias("dls"),
     )
     import re
 

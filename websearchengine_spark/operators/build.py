@@ -7,10 +7,12 @@ Pipeline (all DataFrame; boundaries are Spark stages):
     pages.select(url) ──► url rank (tiny two-phase)      [doc_id mapping]
     pages ──mapInPandas──► (url, title, tokens)          [narrow: extract+analyze]
       │ join(broadcast ids) ──► docs table               [no heavy shuffle]
-      │ posexplode(tokens) carrying doc_len = size(tokens)
+      │ posexplode(tokens); pack occurrence -> ONE int64
+      │   (doc_id << 22 | pos), doc_len -> (doc_id << 22 | doc_len)
       ▼
     groupBy(shard = doc_id % n_shards, term)             [the ONE shuffle]
-      │ sort_array(collect_list(struct(doc_id, pos, doc_len)))
+      │ sort_array(collect_list(occ_packed))  — 8 B/occurrence
+      │ sort_array(collect_set(dl_packed))    — map-side dedup, ~df rows
       ▼
     mapInPandas encode: numpy run-length split per doc,
       delta-gap + varbyte block-max blocks
@@ -25,11 +27,14 @@ Scale design decisions (the 100 TB story):
     ALONE — a single-partition global window would serialize the corpus
     through one task, and ranking the full analyzed stream would
     double-evaluate the UDF via range-partitioner sampling.  SURVEY §7.3.
-  * the occurrence stream is shuffled exactly ONCE: doc_len rides along
-    each occurrence (computed before the explode), so there is no
+  * the occurrence stream is shuffled exactly ONCE, and each occurrence
+    crosses the wire as a SINGLE packed int64 (doc_id << 22 | pos) — the
+    shuffle phase is memcpy-bound, so row width IS the scaling ceiling.
+    doc_len ships as a second packed long deduplicated map-side
+    (collect_set partial aggregation -> ~df rows, not ~ctf).  No
     intermediate per-(doc,term) aggregation, no multi-GB cache of
-    position arrays, and no doc_len join.  Per-doc tf/positions are
-    rebuilt by numpy run-length splitting inside the Arrow encoder.
+    position arrays, no doc_len join.  Per-doc tf/positions are rebuilt
+    by numpy run-length splitting inside the Arrow encoder.
   * postings are DOC-SHARDED (shard = doc_id % n_shards): every term's
     list is split across all shards, so head-term skew (stopwords with
     df ~ corpus size) is bounded by ceil(df / n_shards) — sharding IS the
@@ -60,6 +65,20 @@ from websearchengine_spark.sources.storage import IndexStorage
 
 DEFAULT_N_SHARDS = 8
 DEFAULT_N_GROUPS = 4
+
+# Packed-occurrence layout for the ONE wide shuffle: each occurrence is a
+# single int64 ``doc_id << PACK_BITS | pos`` (and the per-doc doc_len a
+# single ``doc_id << PACK_BITS | doc_len`` carried ONCE per (doc, term)
+# via a map-side-deduplicating collect_set) instead of a 3-field struct
+# repeated per occurrence.  Shuffle bytes drop ~2.5-3x, and sort order on
+# the packed long IS (doc_id, pos) order since doc_id occupies the high
+# bits.  Limits: doc_id < 2^41 (covers the 10^12-doc north_rule with
+# margin), pos/doc_len < 2^22 (4.19M tokens per doc; positions are token
+# indexes so pos < doc_len always) — enforced against the corpus max
+# doc_len before the shuffle runs.
+PACK_BITS = 22
+PACK_MASK = (1 << PACK_BITS) - 1
+MAX_DOC_ID = 1 << (63 - PACK_BITS)
 
 ANALYZED_SCHEMA = "url string, title string, tokens array<string>"
 
@@ -275,21 +294,34 @@ def build_index(
     stats = docs_df.agg(
         F.count("*").cast("long").alias("num_docs"),
         F.sum("doc_len").cast("long").alias("total_tf"),
+        F.max("doc_len").cast("long").alias("max_dl"),
     )
     store.write_table(stats, "stats")
     srow = store.read_table(spark, "stats").collect()[0]
     avg_dl = srow["total_tf"] / max(1, srow["num_docs"])
+    # packed-long layout guards (see PACK_BITS): pos < doc_len always, so
+    # one corpus-max check covers both the position and doc_len fields
+    if int(srow["max_dl"] or 0) >= (1 << PACK_BITS):
+        raise ValueError(
+            f"doc with {srow['max_dl']} tokens exceeds the 2^{PACK_BITS} "
+            "packed-occurrence limit; raise PACK_BITS"
+        )
+    if int(srow["num_docs"]) >= MAX_DOC_ID:
+        raise ValueError("corpus exceeds the 2^41 packed doc_id limit")
     _mark("stats")
 
     # ---- postings: doc-sharded, blocked, per-group resumable commits ---
-    # SINGLE-SHUFFLE design: doc_len is computed per doc BEFORE the
-    # explode (size(tokens)) and rides along each occurrence, so the
-    # pipeline is explode -> one groupBy(shard, term) -> encode.  No
-    # intermediate (doc_id, term) aggregation, no cache of 10^1x-row
-    # position arrays, no doc_len join — the occurrence stream is
-    # shuffled exactly once and reduced straight into posting blocks.
-    # Per-doc tf/positions are reconstructed in numpy from the sorted
-    # (doc_id, pos) runs inside the Arrow encoder.
+    # SINGLE-SHUFFLE design with PACKED rows: the pipeline is explode ->
+    # pack each occurrence into ONE int64 -> one groupBy(shard, term) ->
+    # encode.  No intermediate (doc_id, term) aggregation, no cache of
+    # 10^1x-row position arrays, no doc_len join — the occurrence stream
+    # is shuffled exactly once, and what crosses the wire per occurrence
+    # is 8 bytes (``doc_id << 22 | pos``) instead of a 3-field struct
+    # (~40 B serialized).  doc_len ships once per (doc, term) as a
+    # second packed long via collect_set, whose map-side partial
+    # aggregation dedups the tf>1 repeats before the exchange.  Per-doc
+    # tf/positions are reconstructed by numpy run-length splitting of the
+    # sorted packed longs inside the Arrow encoder.
     occs = analyzed.select(
         "doc_id",
         F.size("tokens").alias("doc_len"),
@@ -306,35 +338,47 @@ def build_index(
     _bsz = block_size if block_size is not None else _DEFAULT_BSZ
 
     def encode_batches(batches):
-        # rows: (shard, term, doc_ids[], poss[], dls[]) — the three arrays
-        # are parallel, sorted by (doc_id, pos) via sort_array on structs
-        # and split into flat arrays JVM-side (cheap Arrow transfer).
+        # rows: (shard, term, occs[], dls[]) — ``occs`` is the sorted
+        # packed-long occurrence list; ``dls`` the sorted packed-long
+        # (doc_id, doc_len) set (positional builds) or empty (positionless
+        # builds pack doc_len directly into each occurrence).
         import numpy as np
 
         for pdf in batches:
             out = {"shard": [], "term": [], "df_shard": [], "ctf_shard": [], "blocks": []}
-            for shard, term, d, p, dl in zip(
-                pdf["shard"], pdf["term"], pdf["doc_ids"], pdf["poss"], pdf["dls"]
+            for shard, term, occ, dlp in zip(
+                pdf["shard"], pdf["term"], pdf["occs"], pdf["dls"]
             ):
-                d = np.asarray(d, dtype=np.int64)
-                p = np.asarray(p, dtype=np.int64)
-                dl = np.asarray(dl, dtype=np.int64)
-                # run-length split of the sorted doc_id column
-                uniq, starts, counts = np.unique(
-                    d, return_index=True, return_counts=True
-                )
+                occ = np.asarray(occ, dtype=np.int64)
+                d_all = occ >> PACK_BITS
+                # run-length split of the (sorted) doc_id high bits
+                change = np.empty(d_all.size, dtype=bool)
+                change[0] = True
+                np.not_equal(d_all[1:], d_all[:-1], out=change[1:])
+                starts = np.flatnonzero(change)
+                uniq = d_all[starts]
+                counts = np.diff(np.append(starts, d_all.size))
+                if positions:
+                    dlp = np.asarray(dlp, dtype=np.int64)
+                    if dlp.size != uniq.size or not np.array_equal(
+                        dlp >> PACK_BITS, uniq
+                    ):
+                        raise ValueError(
+                            "packed doc_len set misaligned with occurrence "
+                            "docs (PACK_BITS overflow?)"
+                        )
+                    dls = dlp & PACK_MASK
+                    p = occ & PACK_MASK
+                else:
+                    dls = (occ & PACK_MASK)[starts]
+                    p = None
                 blocks = encode_posting_blocks(
-                    uniq,
-                    counts,
-                    dl[starts],
-                    p if positions else None,
-                    avg_dl,
-                    block_size=_bsz,
+                    uniq, counts, dls, p, avg_dl, block_size=_bsz
                 )
                 out["shard"].append(int(shard))
                 out["term"].append(term)
                 out["df_shard"].append(int(uniq.size))
-                out["ctf_shard"].append(int(d.size))
+                out["ctf_shard"].append(int(d_all.size))
                 out["blocks"].append(blocks)
             yield pd.DataFrame(out)
 
@@ -343,26 +387,35 @@ def build_index(
         if g in done:
             continue
         part = group_slice(g)
-        # positionless builds drop the pos column BEFORE the wide shuffle —
-        # the occurrence stream that gets exchanged is one int narrower
-        occ_struct = (
-            F.struct("doc_id", "pos", "doc_len")
-            if positions
-            else F.struct("doc_id", "doc_len")
-        )
-        plists = part.groupBy("shard", "term").agg(
-            F.sort_array(F.collect_list(occ_struct)).alias("occ")
-        ).select(
-            "shard",
-            "term",
-            F.expr("transform(occ, o -> o.doc_id)").alias("doc_ids"),
-            (
-                F.expr("transform(occ, o -> o.pos)")
-                if positions
-                else F.expr("array()").cast("array<long>")
-            ).alias("poss"),
-            F.expr("transform(occ, o -> o.doc_len)").alias("dls"),
-        )
+        pk = F.shiftleft(F.col("doc_id"), PACK_BITS)
+        if positions:
+            plists = (
+                part.select(
+                    "shard",
+                    "term",
+                    (pk + F.col("pos")).alias("occ_p"),
+                    (pk + F.col("doc_len")).alias("dl_p"),
+                )
+                .groupBy("shard", "term")
+                .agg(
+                    F.sort_array(F.collect_list("occ_p")).alias("occs"),
+                    # one packed (doc_id, doc_len) per doc; collect_set's
+                    # partial aggregation dedups tf>1 repeats MAP-SIDE, so
+                    # the exchange carries ~df rows of it, not ~ctf
+                    F.sort_array(F.collect_set("dl_p")).alias("dls"),
+                )
+            )
+        else:
+            # positionless: doc_len packs directly into each occurrence
+            # (the pos field is dropped before the shuffle entirely)
+            plists = (
+                part.select(
+                    "shard", "term", (pk + F.col("doc_len")).alias("occ_p")
+                )
+                .groupBy("shard", "term")
+                .agg(F.sort_array(F.collect_list("occ_p")).alias("occs"))
+                .withColumn("dls", F.array().cast("array<long>"))
+            )
         postings = plists.mapInPandas(encode_batches, schema=POSTINGS_SCHEMA)
         # term-sorted row groups => parquet min/max stats prune query-term
         # scans (the `term IN (...)` filter skips whole row groups)

@@ -106,3 +106,74 @@ def test_posting_blocks_skip_decode_positions():
     assert dl is None
     assert d.tolist() == [3, 10, 11]
     assert t.tolist() == [2, 1, 3]
+
+
+@given(posting_list())
+@settings(max_examples=50, deadline=None)
+def test_hybrid_head_layout_roundtrip(pl):
+    """Round-3 champion-head layout: encode with head_frac splits long
+    lists into head+tail runs, decode must re-merge to the EXACT same
+    doc-ordered (doc_ids, tfs, dls, positions) as the plain layout."""
+    from websearchengine_spark.functions.codec import HEAD_MIN_BLOCKS, bm25_impact
+
+    doc_ids, tfs, dls, positions = pl
+    avg_dl = float(dls.mean())
+    bsz = 8  # small blocks so hypothesis-sized lists actually split
+    blocks = encode_posting_blocks(
+        doc_ids, tfs, dls, positions, avg_dl, block_size=bsz, head_frac=0.1
+    )
+    d, t, dl, p = decode_posting_blocks(blocks, want_doclens=True)
+    assert d.tolist() == doc_ids.tolist()
+    assert t.tolist() == tfs.tolist()
+    assert dl.tolist() == dls.tolist()
+    assert p.tolist() == positions.tolist()
+    heads = [b for b in blocks if b[6]]
+    tails = [b for b in blocks if not b[6]]
+    if len(doc_ids) >= HEAD_MIN_BLOCKS * bsz:
+        assert heads, "long list must have head blocks"
+        # the layout's whole point: every tail max_impact <= head cutoff
+        impacts = bm25_impact(tfs.astype(float), dls.astype(float), avg_dl)
+        n_head = sum(b[2] for b in heads)
+        cutoff = np.sort(impacts)[::-1][n_head - 1]
+        for b in tails:
+            assert b[4] <= cutoff + 1e-12
+    else:
+        assert not heads
+
+
+def test_hybrid_kernel_identity_and_tail_skip():
+    """The kernel must return the identical top-k on plain and hybrid
+    layouts, and on an impact-concentrated list the hybrid layout must
+    decode strictly fewer blocks under a threshold."""
+    import math
+
+    from websearchengine_spark.operators.topk import shard_bm25_topk
+
+    rng = np.random.default_rng(11)
+    n_docs, df, avg_dl, k = 200_000, 40_000, 200.0, 10
+    def synth(head_frac):
+        r = np.random.default_rng(3)
+        docs = np.sort(r.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = r.zipf(1.8, size=df).clip(1, 100).astype(np.int64)
+        dls = np.maximum((avg_dl * r.lognormal(0, 1.0, size=df)).astype(np.int64), tfs + 1)
+        pos = np.arange(int(tfs.sum()), dtype=np.int64)
+        return encode_posting_blocks(docs, tfs, dls, pos, avg_dl, head_frac=head_frac)
+
+    idf = {"a": math.log(4.0), "b": math.log(5.0)}
+    qw = {"a": 1.0, "b": 1.0}
+    tl_plain = {"a": synth(0.0), "b": synth(0.0)}
+    tl_hyb = {"a": synth(0.05), "b": synth(0.05)}
+    # same synthetic data in both (seeded inside synth), layouts differ
+    d0, s0, _ = shard_bm25_topk(tl_plain, qw, idf, avg_dl, k)
+    thr = float(s0[k - 1]) - 1e-9
+    d1, s1, st1 = shard_bm25_topk(tl_hyb, qw, idf, avg_dl, k)
+    assert d1.tolist() == d0.tolist()
+    np.testing.assert_allclose(s1, s0, atol=1e-12)
+    d2, s2, st2 = shard_bm25_topk(tl_hyb, qw, idf, avg_dl, k, threshold=thr)
+    assert d2.tolist() == d0.tolist()
+    np.testing.assert_allclose(s2, s0, atol=1e-12)
+    dp, sp, stp = shard_bm25_topk(tl_plain, qw, idf, avg_dl, k, threshold=thr)
+    assert dp.tolist() == d0.tolist()
+    assert st2["blocks_decoded"] < stp["blocks_decoded"], (
+        st2["blocks_decoded"], stp["blocks_decoded"],
+    )

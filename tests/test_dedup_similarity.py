@@ -384,3 +384,35 @@ def test_hot_bucket_cap(spark):
         for r in simhash_duplicate_pairs(docs, max_hamming=2, max_bucket_size=10).collect()
     }
     assert not any(a < 12 and b < 12 for a, b in sp)
+
+
+def test_hot_bucket_cap_default_on_and_drop_counted(spark):
+    """Round-3: the m^2 guard defaults ON (DEFAULT_MAX_BUCKET_SIZE) and
+    drops are never silent — LAST_BUCKET_DROP_OBS records dropped/total
+    rows via an Observation riding the action (no extra job)."""
+    import inspect
+
+    from websearchengine_spark.operators import dedup, similarity
+
+    for fn in (
+        dedup.minhash_lsh_pairs,
+        dedup.simhash_duplicate_pairs,
+        similarity.cosine_near_dup_pairs,
+    ):
+        default = inspect.signature(fn).parameters["max_bucket_size"].default
+        assert default == dedup.DEFAULT_MAX_BUCKET_SIZE, fn.__name__
+
+    rows = [(i, "identical spam boilerplate page content here") for i in range(12)]
+    rows += [(100, "a genuinely unique document about salsa"),
+             (101, "a genuinely unique document about salsa!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10).collect()
+    got = dedup.LAST_BUCKET_DROP_OBS["minhash_lsh"].get
+    assert got["rows_dropped"] > 0
+    assert got["rows_total"] > got["rows_dropped"]
+
+    # cap off (explicit None): no observation recorded for a fresh key
+    dedup.LAST_BUCKET_DROP_OBS.clear()
+    dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=None).collect()
+    assert "minhash_lsh" not in dedup.LAST_BUCKET_DROP_OBS

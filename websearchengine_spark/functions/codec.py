@@ -87,6 +87,27 @@ def varbyte_decode(data: bytes | np.ndarray) -> np.ndarray:
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# Champion-head hybrid layout: with head_frac > 0, a posting list that
+# spans at least HEAD_MIN_BLOCKS blocks is split into a HEAD (its
+# top-impact postings, doc-ordered among themselves, blocks flagged
+# head=True) and a doc-ordered TAIL.  The tail's per-block max_impact is
+# then capped by the head cutoff, so the block-max gate can skip the
+# ENTIRE tail when a running threshold is high — the classic block-max
+# win that a plain doc-ordered layout never realizes (doc-ordered
+# 128-doc blocks all have near-max maxima).  Doc-ordered range skipping
+# still works: head and tail are each internally doc-ordered, so
+# selective (rare-term-driven) queries pay at most the head's extra
+# blocks (~head_frac of the list).
+#
+# 0.05 measured (bench/wand_pruning.py): on a heavy-tailed tf/dl corpus
+# (realistic web text) the threshold gate then skips ~95% of block
+# decodes (6-7x kernel speedup, identical top-k); 0.01 leaves the tail
+# cap above the gate and buys nothing.  On a flat synthetic corpus the
+# impact distribution is too narrow for ANY layout to cap the tail
+# below the conjunctive bound — that case stays ~1x, honestly.
+DEFAULT_HEAD_FRAC = 0.05
+HEAD_MIN_BLOCKS = 8
+
 
 def bm25_impact(tfs: np.ndarray, dls: np.ndarray, avg_dl: float) -> np.ndarray:
     """Per-posting BM25 term impact (idf excluded): the tf-saturation part
@@ -98,37 +119,38 @@ def bm25_impact(tfs: np.ndarray, dls: np.ndarray, avg_dl: float) -> np.ndarray:
     )
 
 
-def encode_posting_blocks(
+def _gather_segments(
+    values: np.ndarray, offsets: np.ndarray, lens: np.ndarray, sel: np.ndarray
+) -> np.ndarray:
+    """values[offsets[i] : offsets[i]+lens[i]] for i in sel, concatenated.
+    Fully vectorized (np.repeat index arithmetic, no per-segment loop)."""
+    l_sel = lens[sel]
+    total = int(l_sel.sum())
+    if total == 0:
+        return np.empty(0, dtype=values.dtype)
+    out_starts = np.zeros(l_sel.size, dtype=np.int64)
+    np.cumsum(l_sel[:-1], out=out_starts[1:])
+    idx = (
+        np.repeat(offsets[sel], l_sel)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(out_starts, l_sel)
+    )
+    return values[idx]
+
+
+def _encode_run(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     doc_lens: np.ndarray,
     positions: np.ndarray | None,
-    avg_dl: float,
-    block_size: int = BLOCK_SIZE,
-) -> list[tuple[int, int, int, int, float, bytes]]:
-    """Encode one term's posting list into block-max blocks.
-
-    ``doc_ids`` strictly ascending int64 (len m); ``tfs``/``doc_lens``
-    int64 (len m); ``positions`` int64 concatenation of each doc's
-    ascending position list (len sum(tfs)).  ``avg_dl`` is the corpus
-    average doc length (stats.total_tf / stats.num_docs), baked into the
-    per-block ``max_impact`` BM25 upper bound (k1=1.2, b=0.75).
-
-    Returns (first_docid, last_docid, n, max_tf, max_impact, data)
-    tuples; ``data`` is one varbyte stream of [gaps, tfs, dls, posdeltas].
-    """
-    doc_ids = np.asarray(doc_ids, dtype=np.int64)
-    tfs = np.asarray(tfs, dtype=np.int64)
-    doc_lens = np.asarray(doc_lens, dtype=np.int64)
-    # positions=None -> doconly-style positionless blocks: the data stream
-    # is just [gaps, tfs, dls] (decode with want_positions=False only)
-    with_positions = positions is not None
-    if with_positions:
-        positions = np.asarray(positions, dtype=np.int64)
+    impacts: np.ndarray,
+    block_size: int,
+    head: bool,
+) -> list[tuple[int, int, int, int, float, bytes, bool]]:
+    """Encode one doc-ordered posting run into flagged blocks."""
     m = doc_ids.size
     pos_offsets = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(tfs, out=pos_offsets[1:])
-    impacts = bm25_impact(tfs.astype(np.float64), doc_lens.astype(np.float64), avg_dl)
     blocks = []
     for start in range(0, m, block_size):
         end = min(start + block_size, m)
@@ -136,7 +158,7 @@ def encode_posting_blocks(
         t = tfs[start:end]
         dl = doc_lens[start:end]
         gaps = np.diff(d, prepend=d[0])  # gap[0] = 0
-        if with_positions:
+        if positions is not None:
             p = positions[pos_offsets[start] : pos_offsets[end]]
             # per-doc position deltas: pos[0] absolute, then diffs
             pdelta = np.diff(p, prepend=np.int64(0))
@@ -153,19 +175,87 @@ def encode_posting_blocks(
                 int(t.max()),
                 float(impacts[start:end].max()),
                 data,
+                head,
             )
         )
     return blocks
 
 
+def encode_posting_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    positions: np.ndarray | None,
+    avg_dl: float,
+    block_size: int = BLOCK_SIZE,
+    head_frac: float = 0.0,
+) -> list[tuple[int, int, int, int, float, bytes, bool]]:
+    """Encode one term's posting list into block-max blocks.
+
+    ``doc_ids`` strictly ascending int64 (len m); ``tfs``/``doc_lens``
+    int64 (len m); ``positions`` int64 concatenation of each doc's
+    ascending position list (len sum(tfs)).  ``avg_dl`` is the corpus
+    average doc length (stats.total_tf / stats.num_docs), baked into the
+    per-block ``max_impact`` BM25 upper bound (k1=1.2, b=0.75).
+
+    ``head_frac`` > 0 enables the champion-head hybrid layout (see
+    DEFAULT_HEAD_FRAC note above): lists spanning >= HEAD_MIN_BLOCKS
+    blocks put their top ceil(head_frac*m) impacts (at least one full
+    block) into doc-ordered head blocks flagged head=True, capping every
+    tail block's max_impact at the head cutoff.
+
+    Returns (first_docid, last_docid, n, max_tf, max_impact, data, head)
+    tuples; ``data`` is one varbyte stream of [gaps, tfs, dls, posdeltas].
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    # positions=None -> doconly-style positionless blocks: the data stream
+    # is just [gaps, tfs, dls] (decode with want_positions=False only)
+    with_positions = positions is not None
+    if with_positions:
+        positions = np.asarray(positions, dtype=np.int64)
+    m = doc_ids.size
+    impacts = bm25_impact(tfs.astype(np.float64), doc_lens.astype(np.float64), avg_dl)
+    if head_frac > 0.0 and m >= HEAD_MIN_BLOCKS * block_size:
+        h = max(block_size, int(np.ceil(m * head_frac)))
+        head_sel = np.sort(np.argpartition(-impacts, h - 1)[:h])
+        mask = np.zeros(m, dtype=bool)
+        mask[head_sel] = True
+        tail_sel = np.flatnonzero(~mask)
+        pos_offsets = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(tfs, out=pos_offsets[1:])
+        out = []
+        for sel, is_head in ((head_sel, True), (tail_sel, False)):
+            p = (
+                _gather_segments(positions, pos_offsets[:-1], tfs, sel)
+                if with_positions
+                else None
+            )
+            out.extend(
+                _encode_run(
+                    doc_ids[sel], tfs[sel], doc_lens[sel], p,
+                    impacts[sel], block_size, is_head,
+                )
+            )
+        return out
+    return _encode_run(
+        doc_ids, tfs, doc_lens, positions, impacts, block_size, False
+    )
+
+
 def decode_posting_blocks(
-    blocks: list[tuple[int, int, int, int, float, bytes]] | list,
+    blocks: list[tuple] | list,
     want_positions: bool = True,
     want_doclens: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None, np.ndarray | None]:
-    """Decode blocks back to (doc_ids, tfs, doclens-or-None, positions-or-None)."""
+    """Decode blocks back to (doc_ids, tfs, doclens-or-None, positions-
+    or-None), ALWAYS doc_id-ascending: hybrid head+tail layouts (or any
+    block subset whose runs interleave) are merge-sorted back into one
+    global doc order, positions re-gathered segment-wise."""
     all_docs, all_tfs, all_dls, all_pos = [], [], [], []
-    for first_docid, _last, n, _max_tf, _max_imp, data in blocks:
+    for blk in blocks:
+        first_docid, _last, n, _max_tf, _max_imp, data = blk[:6]
         vals = varbyte_decode(np.frombuffer(data, dtype=np.uint8))
         gaps = vals[:n]
         tfs = vals[n : 2 * n]
@@ -192,4 +282,14 @@ def decode_posting_blocks(
     positions = (
         (np.concatenate(all_pos) if all_pos else empty) if want_positions else None
     )
+    if doc_ids.size > 1 and np.any(doc_ids[1:] < doc_ids[:-1]):
+        order = np.argsort(doc_ids, kind="stable")
+        if positions is not None and positions.size:
+            offsets = np.zeros(doc_ids.size, dtype=np.int64)
+            np.cumsum(tfs[:-1], out=offsets[1:])
+            positions = _gather_segments(positions, offsets, tfs, order)
+        doc_ids = doc_ids[order]
+        tfs = tfs[order]
+        if doclens is not None and doclens.size:
+            doclens = doclens[order]
     return doc_ids, tfs, doclens, positions

@@ -20,11 +20,23 @@ Scale notes (100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 DEFAULT_N_HASHES = 8
 DEFAULT_BANDS = 4
+
+# Hot-bucket cap default: ON.  A degenerate LSH bucket of m members costs
+# m^2/2 pairs — at web scale one boilerplate/empty-doc cluster can consume
+# the whole job, and the users who hit it are exactly the ones who never
+# heard of the knob.  10k members = 50M pairs per bucket, the most a
+# single bucket should ever be allowed to cost; pass ``None`` to disable.
+DEFAULT_MAX_BUCKET_SIZE = 10_000
+
+# Per-op drop evidence for the LAST candidate-generation action (the
+# no-silent-caps rule): op name -> pyspark Observation whose .get yields
+# {"rows_dropped": n, "rows_total": m} once the query has run.
+LAST_BUCKET_DROP_OBS: dict[str, Observation] = {}
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -83,18 +95,32 @@ def minhash_signatures(
     )
 
 
-def _drop_hot_buckets(df: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+def _drop_hot_buckets(
+    df: DataFrame, key_cols: list[str], cap: int | None, op_name: str = "lsh"
+) -> DataFrame:
     """Skew guard for bucket self-joins: a bucket of m members yields
     m^2/2 pairs, so one hot bucket (boilerplate page, empty doc, spam
     cluster) can dominate the whole job at corpus scale.  Buckets larger
     than ``cap`` are dropped BEFORE the join — their members are
     near-identical mega-clusters that exact dedup already collapses.
     The count join is on the same key as the subsequent self-join, so it
-    reuses the co-partitioning."""
+    reuses the co-partitioning.
+
+    The drop is never silent: an Observation (zero extra jobs — metrics
+    ride the action) records rows_dropped/rows_total, exposed via
+    ``LAST_BUCKET_DROP_OBS[op_name]``."""
     if cap is None:
         return df
     counts = df.groupBy(*key_cols).agg(F.count("*").alias("_bn"))
-    return df.join(counts, key_cols).filter(F.col("_bn") <= cap).drop("_bn")
+    joined = df.join(counts, key_cols)
+    obs = Observation()
+    joined = joined.observe(
+        obs,
+        F.count_if(F.col("_bn") > cap).alias("rows_dropped"),
+        F.count(F.lit(1)).alias("rows_total"),
+    )
+    LAST_BUCKET_DROP_OBS[op_name] = obs
+    return joined.filter(F.col("_bn") <= cap).drop("_bn")
 
 
 def minhash_lsh_pairs(
@@ -104,7 +130,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     shingle_k: int = 8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -113,8 +139,10 @@ def minhash_lsh_pairs(
     fraction of agreeing minhashes; pairs >= threshold survive.
     Returns (doc_a, doc_b, jaccard_est) with doc_a < doc_b.
 
-    ``max_bucket_size``: optional hot-bucket cap (see _drop_hot_buckets)
-    — the quadratic-blowup guard for web-scale corpora.
+    ``max_bucket_size``: hot-bucket cap (see _drop_hot_buckets) — the
+    quadratic-blowup guard for web-scale corpora; ON by default
+    (DEFAULT_MAX_BUCKET_SIZE), ``None`` disables.  Drop counts are
+    recorded in LAST_BUCKET_DROP_OBS["minhash_lsh"].
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, text_col, n_hashes, shingle_k).persist()
@@ -135,7 +163,7 @@ def minhash_lsh_pairs(
             ],
         ).alias("bucket"),
     )
-    banded = _drop_hot_buckets(banded, ["bucket"], max_bucket_size)
+    banded = _drop_hot_buckets(banded, ["bucket"], max_bucket_size, "minhash_lsh")
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"), "bucket"
     )
@@ -201,7 +229,7 @@ def simhash_duplicate_pairs(
     text_col: str = "text",
     bits: int = 16,
     max_hamming: int = 0,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -215,6 +243,7 @@ def simhash_duplicate_pairs(
     """
     s = simhash(docs, text_col, bits)
     if max_hamming == 0:
+        s = _drop_hot_buckets(s, ["simhash"], max_bucket_size, "simhash_exact")
         a = s.select(F.col("doc_id").alias("doc_a"), "simhash")
         b = s.select(F.col("doc_id").alias("doc_b"), "simhash")
         # same schema as the banded path so callers can vary max_hamming
@@ -243,7 +272,9 @@ def simhash_duplicate_pairs(
     banded = s.select(
         "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "simhash", "band.band_id", "band.band_bits")
-    banded = _drop_hot_buckets(banded, ["band_id", "band_bits"], max_bucket_size)
+    banded = _drop_hot_buckets(
+        banded, ["band_id", "band_bits"], max_bucket_size, "simhash_bands"
+    )
 
     a = banded.select(
         F.col("doc_id").alias("doc_a"),

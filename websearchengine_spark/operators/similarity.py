@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from websearchengine_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
+    _drop_hot_buckets,
+)
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -87,7 +92,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exhaustive: bool = False,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine >= threshold and id_a < id_b.
@@ -114,9 +119,7 @@ def cosine_near_dup_pairs(
             "_id", "_v", "bucket"
         )
         if max_bucket_size is not None:
-            from websearchengine_spark.operators.dedup import _drop_hot_buckets
-
-            bb = _drop_hot_buckets(bb, ["bucket"], max_bucket_size)
+            bb = _drop_hot_buckets(bb, ["bucket"], max_bucket_size, "cosine_lsh")
         cand = (
             bb.alias("a")
             .join(bb.alias("b"), "bucket")

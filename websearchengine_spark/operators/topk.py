@@ -135,22 +135,6 @@ def shard_bm25_topk(
     if cand.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64), stats
 
-    # optional UB pruning against a known threshold (block-max upper bounds)
-    if threshold > -math.inf:
-        ub = np.zeros(cand.size)
-        for t in terms:
-            d, _tf, _dl = per_term[t]
-            blocks = term_lists[t]
-            firsts = np.array([b[0] for b in blocks], dtype=np.int64)
-            maximp = np.array([b[4] for b in blocks], dtype=np.float64)
-            bidx = np.clip(np.searchsorted(firsts, cand, side="right") - 1, 0, len(blocks) - 1)
-            ub += qweights[t] * idf[t] * maximp[bidx]
-        keep = ub > threshold
-        stats["pruned_by_ub"] = int((~keep).sum())
-        cand = cand[keep]
-        if cand.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.float64), stats
-
     # exact vectorized BM25 over surviving candidates
     scores = np.zeros(cand.size, dtype=np.float64)
     dl_cand = None
@@ -166,6 +150,18 @@ def shard_bm25_topk(
             * ((BM25_K1 + 1.0) * tf_c)
             / (tf_c + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_cand / avg_dl))
         )
+
+    # threshold filter on the EXACT scores (replaces the old per-candidate
+    # block-UB lookup, which assumed non-overlapping block ranges — false
+    # for the hybrid head+tail layout; exact filtering is both correct for
+    # any layout and strictly tighter): docs <= threshold are provably
+    # outside the global top-k (threshold = phase-1 k-th score - eps).
+    if threshold > -math.inf:
+        keep = scores > threshold
+        stats["pruned_by_ub"] = int((~keep).sum())
+        cand, scores = cand[keep], scores[keep]
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64), stats
     # per-shard top-k with the pinned tie-break (score desc, doc_id asc)
     if cand.size > k:
         # keep every doc scoring >= the k-th best (ties resolved below)
@@ -188,6 +184,16 @@ def _corpus_stats(spark, store: IndexStorage) -> tuple[int, int, float]:
     return nd, tt, tt / max(1, nd)
 
 
+def _head_of(b) -> bool:
+    """head flag from a Row (DataFrame path) or dict (Arrow/pandas path);
+    indexes built before the hybrid layout have no field -> False."""
+    try:
+        v = b["head"]
+    except (KeyError, ValueError, IndexError):
+        return False
+    return bool(v) if v is not None else False
+
+
 def _rows_to_blocks(blocks) -> list:
     return [
         (
@@ -197,6 +203,7 @@ def _rows_to_blocks(blocks) -> list:
             b["max_tf"],
             b["max_impact"],
             b["data"],
+            _head_of(b),
         )
         for b in blocks
     ]

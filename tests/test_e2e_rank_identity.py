@@ -192,3 +192,44 @@ def test_search_uri_clamps_nonpositive_num(spark, built_index):
         spark, built_index, "query=web+search&ranker=conjunctive&num=0"
     ).collect()
     assert 0 < len(rows0) <= 10
+
+
+def test_render_text_and_html_formats():
+    """Reference output formats (QueryHandler.java:190-197,344-351):
+    TEXT = docid\\ttitle\\tscore\\tpagerank\\tnumviews lines; HTML =
+    template substitution with base64'd docid&&&score&&&title&&& rows."""
+    import base64
+
+    from websearchengine_spark.operators.render import (
+        format_html_results,
+        format_text_results,
+    )
+
+    rows = [
+        {"doc_id": 7, "title": "A Title", "score": 1.5, "pagerank": 0.25, "numviews": 42},
+        {"doc_id": 3, "title": "B", "score": 0.5, "pagerank": 0.0, "numviews": 0},
+    ]
+    txt = format_text_results(rows)
+    assert txt == "7\tA Title\t1.5\t0.25\t42\n3\tB\t0.5\t0.0\t0\n"
+    assert format_text_results([]) == ""
+
+    html = format_html_results(rows, query="web search", ranker="bm25")
+    assert "{{" not in html  # every placeholder substituted
+    assert 'var count = 2' in html
+    enc = html.split('var result = "')[1].split('"')[0]
+    decoded = base64.b64decode(enc).decode("utf-8")
+    assert decoded == "7&&&1.5&&&A Title&&&3&&&0.5&&&B&&&"
+
+
+def test_serve_search_renders_both_formats(spark, built_index):
+    from websearchengine_spark.operators.render import serve_search
+
+    txt = serve_search(spark, built_index, "query=web+search&ranker=bm25&num=3")
+    lines = [l for l in txt.splitlines() if l]
+    assert 0 < len(lines) <= 3
+    assert all(len(l.split("\t")) == 5 for l in lines)
+
+    html = serve_search(
+        spark, built_index, "query=web+search&ranker=bm25&num=3&format=html"
+    )
+    assert html.startswith("<!DOCTYPE html>") and "{{" not in html

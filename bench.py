@@ -146,7 +146,13 @@ def main() -> None:
                 "n_docs": n_docs,
                 "index_build_docs_per_sec": build_docs_per_sec,
                 "batch_queries_per_sec": round(40 / timings["wand_batch_x40"], 2),
+                # headline semantics marker: since round 3 the per-phase
+                # walls are min-of-reps (run 1 carries JIT/codegen warmup);
+                # compare against r1/r2 single-shot records via
+                # queries_first_run, not the headline fields.
+                "selection": "min_of_reps",
                 "reps": REPS,
+                "queries_first_run": {k: v[0] for k, v in all_runs.items()},
                 "queries_all_runs": all_runs,
                 "host_probe": {"start": probe_start, "end": probe_end},
             }

@@ -387,20 +387,24 @@ def test_hot_bucket_cap(spark):
 
 
 def test_hot_bucket_cap_default_on_and_drop_counted(spark):
-    """Round-3: the m^2 guard defaults ON (DEFAULT_MAX_BUCKET_SIZE) and
-    drops are never silent — LAST_BUCKET_DROP_OBS records dropped/total
-    rows via an Observation riding the action (no extra job)."""
+    """Round-3: the m^2 guard defaults ON for MinHash-LSH only — a shared
+    minhash band implies near-identity, so over-cap buckets are true
+    mega-clusters.  SimHash bands / sign-LSH buckets are coarse random
+    partitions whose size grows with CORPUS size; a default cap there
+    would silently empty the result at scale, so it stays opt-in
+    (round-3 review finding).  Drops are never silent —
+    LAST_BUCKET_DROP_OBS records dropped/total rows via an Observation
+    riding the action (no extra job)."""
     import inspect
 
     from websearchengine_spark.operators import dedup, similarity
 
-    for fn in (
-        dedup.minhash_lsh_pairs,
-        dedup.simhash_duplicate_pairs,
-        similarity.cosine_near_dup_pairs,
-    ):
-        default = inspect.signature(fn).parameters["max_bucket_size"].default
-        assert default == dedup.DEFAULT_MAX_BUCKET_SIZE, fn.__name__
+    def default_of(fn):
+        return inspect.signature(fn).parameters["max_bucket_size"].default
+
+    assert default_of(dedup.minhash_lsh_pairs) == dedup.DEFAULT_MAX_BUCKET_SIZE
+    assert default_of(dedup.simhash_duplicate_pairs) is None
+    assert default_of(similarity.cosine_near_dup_pairs) is None
 
     rows = [(i, "identical spam boilerplate page content here") for i in range(12)]
     rows += [(100, "a genuinely unique document about salsa"),

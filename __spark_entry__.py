@@ -37,6 +37,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Parallelism guard for explode-amplifying scans: Spark sizes scan
+    partitions by INPUT bytes, but a shingle/token explode does work
+    proportional to post-explode volume — a small single-file corpus
+    would otherwise serialize the whole explode+hash stage on one core.
+    The exchange moves only the (tiny) pre-explode rows.  No-op when the
+    input already has enough splits (the normal case at scale)."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def _tok_expr():
     """Filtered lowercase whitespace tokens (matches the SQL oracle)."""
     return F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
@@ -44,7 +57,7 @@ def _tok_expr():
 
 def _toks(spark, sf_dir) -> DataFrame:
     """(doc_id, term) one row per occurrence."""
-    return _docs(spark, sf_dir).select(
+    return _widen(_docs(spark, sf_dir)).select(
         "doc_id", F.explode(_tok_expr()).alias("term")
     )
 
@@ -467,7 +480,7 @@ def _spark_norm():
 def _shingles_spark(spark, sf_dir):
     """(doc_id, shingle): char-8-grams of normalized text."""
     return (
-        _docs(spark, sf_dir)
+        _widen(_docs(spark, sf_dir))
         .select("doc_id", _spark_norm().alias("norm"))
         .select(
             "doc_id",
@@ -492,10 +505,19 @@ def _hex32(col):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    """MinHash (4 hashes) over char-8-gram shingles -> (doc_id, mh0..mh3)."""
+    """MinHash (4 hashes) over char-8-gram shingles -> (doc_id, mh0..mh3).
+
+    The 4 hash functions are the 4 independent 32-bit LANES of ONE md5
+    digest per shingle (md5 is computed once, not 4 times — at corpus
+    scale the digest dominates the shingle pass); DuckDB slices the same
+    hex lanes, so engine and oracle stay value-identical.
+    """
     sh = _shingles_spark(spark, sf_dir)
+    digest = F.md5(F.encode(F.col("shingle"), "UTF-8"))
     aggs = [
-        F.min(_hex32(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"mh{h}")
+        F.min(
+            F.conv(F.substring(digest, 1 + 8 * h, 8), 16, 10).cast("long")
+        ).alias(f"mh{h}")
         for h in range(4)
     ]
     return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
@@ -504,7 +526,7 @@ def q_minhash_signatures(spark, sf_dir):
 SQL_MINHASH = (
     "WITH " + _SQL_SHINGLES + " SELECT doc_id, "
     + ", ".join(
-        f"min(CAST(('0x' || substr(md5('{h}|' || shingle), 1, 8)) AS BIGINT)) AS mh{h}"
+        f"min(CAST(('0x' || substr(md5(shingle), {1 + 8 * h}, 8)) AS BIGINT)) AS mh{h}"
         for h in range(4)
     )
     + " FROM sh GROUP BY doc_id ORDER BY doc_id"

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from websearchengine_spark.operators.util import widen_for_explode
+
 DEFAULT_N_HASHES = 8
 DEFAULT_BANDS = 4
 
@@ -68,7 +70,7 @@ def _norm(text_col: str):
 def char_shingles(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     """(doc_id, shingle): character k-grams of whitespace-normalized text."""
     return (
-        docs.select("doc_id", _norm(text_col).alias("norm"))
+        widen_for_explode(docs).select("doc_id", _norm(text_col).alias("norm"))
         .select(
             "doc_id",
             F.explode(
@@ -95,9 +97,28 @@ def minhash_signatures(
     n_hashes: int = DEFAULT_N_HASHES,
     shingle_k: int = 8,
 ) -> DataFrame:
-    """(doc_id, mh: array<long>) MinHash signature per doc."""
+    """(doc_id, mh: array<long>) MinHash signature per doc.
+
+    Hash family: each md5 digest yields FOUR independent 32-bit lanes,
+    so n_hashes functions cost only ceil(n_hashes/4) digests per shingle
+    (the digest, not the min-agg, dominates the shingle pass at corpus
+    scale); digests are salted per 4-lane group.  Catalyst's
+    subexpression elimination computes each salted digest once even
+    though four min() aggregates reference it.
+    """
     sh = char_shingles(docs, text_col, shingle_k)
-    aggs = [F.min(_hash32(F.col("shingle"), h)).alias(f"mh{h}") for h in range(n_hashes)]
+    digests = {
+        g: F.md5(F.encode(F.concat(F.lit(f"{g}|"), F.col("shingle")), "UTF-8"))
+        for g in range((n_hashes + 3) // 4)
+    }
+    aggs = [
+        F.min(
+            F.conv(F.substring(digests[h // 4], 1 + 8 * (h % 4), 8), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"mh{h}")
+        for h in range(n_hashes)
+    ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"mh{h}") for h in range(n_hashes)]).alias("mh")
@@ -200,7 +221,7 @@ def minhash_lsh_pairs(
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash: long): tf-weighted sign-bit fingerprint."""
-    toks = docs.select(
+    toks = widen_for_explode(docs).select(
         "doc_id",
         F.explode(F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")).alias(
             "term"
@@ -323,7 +344,7 @@ def token_jaccard_pairs(
     docs: DataFrame, pairs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """Exact token-set Jaccard for given (doc_a, doc_b) candidate pairs."""
-    toks = docs.select(
+    toks = widen_for_explode(docs).select(
         "doc_id",
         F.explode(F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")).alias(
             "term"

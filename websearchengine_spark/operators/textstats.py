@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from websearchengine_spark.operators.dedup import _hash32, char_shingles
+from websearchengine_spark.operators.util import widen_for_explode
 
 # tiny in-code stopword profiles for the n-gram/stopword language heuristic
 LANG_PROFILES = {
@@ -26,7 +27,9 @@ def _tokens(text_col: str):
 
 def lang_id(docs: DataFrame, text_col: str = "text", min_ratio: float = 0.02) -> DataFrame:
     """(doc_id, lang_pred, best_ratio): argmax stopword-hit ratio."""
-    toks = docs.select("doc_id", F.explode(_tokens(text_col)).alias("term"))
+    toks = widen_for_explode(docs).select(
+        "doc_id", F.explode(_tokens(text_col)).alias("term")
+    )
     agg = toks.groupBy("doc_id").agg(
         F.count("*").alias("n"),
         *[
@@ -59,7 +62,9 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Features: token count, type-token ratio, mean token length,
     punctuation ratio, max token repetition share.
     """
-    toks = docs.select("doc_id", F.explode(_tokens(text_col)).alias("term"))
+    toks = widen_for_explode(docs).select(
+        "doc_id", F.explode(_tokens(text_col)).alias("term")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     feats = tf.groupBy("doc_id").agg(
         F.sum("tf").alias("n_tokens"),

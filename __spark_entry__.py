@@ -2098,6 +2098,77 @@ def q_bm25_doconly_path(spark, sf_dir):
 SQL_BM25_DOCONLY_PATH = SQL_BM25_TOPK  # positionless index, same ranking
 
 
+_LIVE_INDEX_CACHE: dict[str, str] = {}
+
+
+def _live_index_for(spark, sf_dir: str) -> str:
+    """Streaming-incremental (LSM) index over documents: the corpus is
+    split at a shard-multiple url-rank cut and ingested as TWO
+    micro-batches (streaming/ingest.py::apply_pages_batch), producing a
+    live root with two delta segments and NO full-corpus build.  The cut
+    being a multiple of n_shards makes the live global doc_id space
+    identical to a from-scratch build's (merge.doc_id_offsets), so the
+    full-corpus SQL oracle applies unchanged."""
+    import tempfile
+
+    root = _LIVE_INDEX_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "_live.json")):
+        return root
+    from websearchengine_spark.session import make_pyfiles_zip
+    from websearchengine_spark.streaming.ingest import apply_pages_batch
+
+    try:
+        spark.sparkContext.addPyFile(make_pyfiles_zip())
+    except Exception:
+        pass
+    root = tempfile.mkdtemp(prefix="wse_entry_live_")
+    docs = _docs(spark, sf_dir)
+    cut = (docs.count() // 2) // 8 * 8
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("url"),
+        "text",
+    )
+    batches = [
+        pages.filter(F.col("doc_id") < cut),
+        pages.filter(F.col("doc_id") >= cut),
+    ]
+    for i, part in enumerate(batches):
+        apply_pages_batch(
+            spark, part.drop("doc_id"), i, root,
+            n_shards=8, n_groups=2, analyzer="whitespace", keep_doc_terms=False,
+        )
+    _LIVE_INDEX_CACHE[sf_dir] = root
+    return root
+
+
+def q_live_bm25_top20(spark, sf_dir):
+    """Incremental == batch, driver-gated: BM25 WAND top-20 via
+    search_live over two streaming delta segments scored with union
+    statistics — must hash-match the SAME oracle as the from-scratch
+    index build (SQL_BM25_TOPK), proving LSM maintenance never changes
+    results."""
+    from websearchengine_spark.streaming.ingest import search_live
+
+    root = _live_index_for(spark, sf_dir)
+
+    def fetch(k):
+        return [
+            (r["doc_id"], float(r["score"]))
+            for r in search_live(spark, root, " ".join(QUERY_TERMS), k=k)
+            .select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+
+    return spark.createDataFrame(
+        _rounded_topk_rows(fetch, 20), "doc_id long, score double"
+    )
+
+
+SQL_LIVE_BM25_TOP20 = SQL_BM25_TOPK  # live segments reproduce the batch build
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2144,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "bm25_index_path": q_bm25_index_path,
         "bm25_doconly_path": q_bm25_doconly_path,
+        "live_bm25_top20": q_live_bm25_top20,
         "ivf_ann_top10": q_ivf_ann_top10,
         "prf_expansion": q_prf_expansion,
         "session_pmi": q_session_pmi,
@@ -2197,6 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "bm25_index_path": SQL_BM25_INDEX_PATH,
         "bm25_doconly_path": SQL_BM25_DOCONLY_PATH,
+        "live_bm25_top20": SQL_LIVE_BM25_TOP20,
         "ivf_ann_top10": SQL_IVF_ANN,
         "prf_expansion": SQL_PRF_EXPANSION,
         "session_pmi": SQL_SESSION_PMI,

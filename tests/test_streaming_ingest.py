@@ -1,0 +1,185 @@
+"""Streaming incremental indexing (streaming/ingest.py): delta segments
+built per micro-batch, LSM compaction via the K-way merge, and live
+multi-segment search with union statistics.
+
+The load-bearing claims, each pinned here:
+
+  * search_live over base+deltas is doc_id- AND score-IDENTICAL to
+    wand_topk over (a) the fully-compacted index and (b) a from-scratch
+    build of the whole corpus — incremental maintenance never changes
+    what search returns (the union-statistics BM25 argument: a doc's
+    score depends only on its tf/dl and GLOBAL idf/avg_dl, which
+    search_live reconstructs from segment manifests + term_stats).
+  * batch application is exactly-once under foreachBatch redelivery.
+  * compaction (merge_many_indexes, ONE compressed-postings shuffle for
+    K segments) swaps the catalog atomically and gc's old segments.
+  * the real Structured Streaming path (file source, maxFilesPerTrigger
+    =1, availableNow) drains a backlog into per-batch segments.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import PHRASE_QUERIES, REFERENCE_QUERIES
+from websearchengine_spark.operators.build import build_index
+from websearchengine_spark.operators.merge import doc_id_offsets
+from websearchengine_spark.operators.topk import wand_topk
+from websearchengine_spark.sources.corpus import PAGES_SCHEMA
+from websearchengine_spark.streaming.ingest import (
+    apply_pages_batch,
+    compact_live,
+    live_segment_roots,
+    read_live_catalog,
+    search_live,
+    start_index_ingest,
+)
+
+N_SHARDS = 4
+CUTS = (0, 80, 160, 200)  # url-rank split points; multiples of N_SHARDS
+
+
+def _parts(spark, corpus_pdf):
+    """The 200-doc corpus split into 3 batches at url-rank multiples of
+    n_shards, so cumulative offsets == cuts and live doc_ids equal the
+    full build's."""
+    by_url = corpus_pdf.sort_values("url").reset_index(drop=True)
+    return [
+        spark.createDataFrame(by_url.iloc[CUTS[i]:CUTS[i + 1]])
+        for i in range(3)
+    ]
+
+
+@pytest.fixture(scope="module")
+def live(spark, corpus_pdf, tmp_path_factory):
+    base = tmp_path_factory.mktemp("live")
+    full = str(base / "full")
+    build_index(
+        spark, spark.createDataFrame(corpus_pdf), full,
+        n_shards=N_SHARDS, n_groups=2,
+    )
+    root = str(base / "live")
+    for i, part in enumerate(_parts(spark, corpus_pdf)):
+        seg = apply_pages_batch(
+            spark, part, i, root, n_shards=N_SHARDS, n_groups=2
+        )
+        assert seg is not None
+    return {"root": root, "full": full}
+
+
+def _ds(df):
+    return [(r["doc_id"], r["score"], r["url"]) for r in df.collect()]
+
+
+def test_offsets_rule():
+    assert doc_id_offsets([80, 80, 40], 4) == [0, 80, 160]
+    assert doc_id_offsets([5, 7], 3) == [0, 6]  # rounds up to shard multiple
+
+
+def test_apply_batch_is_exactly_once(spark, corpus_pdf, live):
+    """Redelivering an applied batch_id is a no-op: no new segment, no
+    doc duplication."""
+    part0 = _parts(spark, corpus_pdf)[0]
+    before = read_live_catalog(live["root"])
+    assert apply_pages_batch(spark, part0, 0, live["root"]) is None
+    after = read_live_catalog(live["root"])
+    assert after["segments"] == before["segments"]
+    assert after["applied_batches"] == before["applied_batches"] == [0, 1, 2]
+
+
+def test_build_kwargs_pinned_by_first_batch(spark, corpus_pdf, live):
+    part0 = _parts(spark, corpus_pdf)[0]
+    with pytest.raises(ValueError, match="n_shards"):
+        apply_pages_batch(spark, part0, 99, live["root"], n_shards=7)
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES + PHRASE_QUERIES[:1])
+def test_search_live_identical_to_full_build(spark, live, query):
+    """Multi-segment live search == single from-scratch build: same
+    doc_ids (the offset rule reproduces url-rank ids exactly, cuts being
+    shard multiples), same scores (union statistics), same urls."""
+    got = _ds(search_live(spark, live["root"], query, k=10))
+    want = _ds(wand_topk(spark, live["full"], query, k=10))
+    assert len(got) == len(want)
+    for (d1, s1, u1), (d2, s2, u2) in zip(got, want):
+        assert d1 == d2 and u1 == u2
+        assert abs(s1 - s2) < 1e-9
+
+
+def test_compact_then_search_identical(spark, live):
+    """Compaction changes cost, not results: per-query (doc_id, score,
+    url) survive the 3-way merge byte-for-byte; catalog swaps to one
+    base segment, old deltas are gc'd, lineage keeps the commit log."""
+    before = {
+        q: _ds(search_live(spark, live["root"], q, k=10))
+        for q in REFERENCE_QUERIES
+    }
+    old_segs = live_segment_roots(live["root"])
+    assert len(old_segs) == 3
+    new_base = compact_live(spark, live["root"], min_segments=2)
+    assert new_base is not None and os.path.exists(new_base)
+    segs = live_segment_roots(live["root"])
+    assert segs == [new_base]
+    for old in old_segs:
+        assert not os.path.exists(old)
+    cat = read_live_catalog(live["root"])
+    assert cat["generation"] == 1
+    assert cat["lineage"][-1]["event"] == "compacted"
+    assert cat["lineage"][-1]["merged"] == [os.path.basename(s) for s in old_segs]
+    # single-segment search now; wand_topk direct on the base agrees too
+    for q in REFERENCE_QUERIES:
+        assert _ds(search_live(spark, live["root"], q, k=10)) == before[q]
+        assert _ds(wand_topk(spark, new_base, q, k=10)) == before[q]
+    # idempotent below threshold: one segment < min_segments
+    assert compact_live(spark, live["root"], min_segments=2) is None
+
+
+def test_foreachbatch_stream_ingest(spark, corpus_pdf, tmp_path):
+    """The real Structured Streaming path: a file-source backlog drained
+    availableNow with maxFilesPerTrigger=1 becomes one delta segment per
+    file; live search then matches the full batch build on (url, score)
+    (file order — hence doc_id space — is not contractual)."""
+    watch = str(tmp_path / "incoming")
+    for part in _parts(spark, corpus_pdf):
+        part.coalesce(1).write.mode("append").parquet(watch)
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    root = str(tmp_path / "live")
+    q = start_index_ingest(
+        spark, stream, root, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True}, n_shards=N_SHARDS, n_groups=2,
+    )
+    q.awaitTermination(120)
+    cat = read_live_catalog(root)
+    assert len(cat["segments"]) == 3
+    assert sorted(cat["applied_batches"]) == [0, 1, 2]
+    assert sum(s["num_docs"] for s in cat["segments"]) == 200
+
+    full = str(tmp_path / "full")
+    build_index(
+        spark, spark.createDataFrame(corpus_pdf), full,
+        n_shards=N_SHARDS, n_groups=2,
+    )
+    for query in ("google", "data mining", "web search"):
+        got = [
+            (r["url"], round(r["score"], 9))
+            for r in search_live(spark, root, query, k=10).collect()
+        ]
+        want = [
+            (r["url"], round(r["score"], 9))
+            for r in wand_topk(spark, full, query, k=10).collect()
+        ]
+        # scores identical rank-for-rank; urls equal modulo exact-score
+        # ties (doc_id tie-break differs across id spaces)
+        assert [s for _, s in got] == [s for _, s in want]
+        by_s_got, by_s_want = {}, {}
+        for u, s in got:
+            by_s_got.setdefault(s, []).append(u)
+        for u, s in want:
+            by_s_want.setdefault(s, []).append(u)
+        for s in by_s_want:
+            assert sorted(by_s_got[s]) == sorted(by_s_want[s])

@@ -86,23 +86,70 @@ def merge_indexes(
     to a from-scratch build of the union corpus (doc_ids differ, so
     exact score ties may order differently).
     """
-    store_a, store_b = IndexStorage(root_a), IndexStorage(root_b)
-    cfg_a = store_a.read_manifest().get("config", {})
-    cfg_b = store_b.read_manifest().get("config", {})
-    n_shards = int(_require(cfg_a, cfg_b, "n_shards"))
-    analyzer = _require(cfg_a, cfg_b, "analyzer", "reference")
-    positions = bool(_require(cfg_a, cfg_b, "positions", True))
+    return merge_many_indexes(
+        spark, [root_a, root_b], out_root,
+        n_groups=n_groups, block_size=block_size, head_frac=head_frac,
+        resume=resume,
+    )
+
+
+def doc_id_offsets(num_docs_list: list[int], n_shards: int) -> list[int]:
+    """Cumulative shard-preserving doc_id offsets for a sequence of index
+    segments: segment i's ids shift by the running sum of each earlier
+    segment's num_docs rounded UP to a multiple of n_shards, so every
+    shifted id keeps its shard (offset % n_shards == 0) and the shifted
+    id ranges are disjoint and ascending in segment order.  This is THE
+    id-space rule shared by merge_many_indexes and the live multi-index
+    search path (streaming/ingest.py) — both must agree for incremental
+    search to be doc_id-identical to the compacted index."""
+    offs, off = [], 0
+    for nd in num_docs_list:
+        offs.append(off)
+        off += ((int(nd) + n_shards - 1) // n_shards) * n_shards
+    return offs
+
+
+def merge_many_indexes(
+    spark: SparkSession,
+    roots: list[str],
+    out_root: str,
+    n_groups: int | None = None,
+    block_size: int = BLOCK_SIZE,
+    head_frac: float | None = None,
+    resume: bool = True,
+) -> IndexStorage:
+    """K-way index merge in ONE pass — the compaction primitive for
+    incremental (streaming) indexing.
+
+    Generalizes the binary merge: segment i's doc_ids shift by the
+    cumulative shard-preserving offset (see doc_id_offsets), all K
+    compressed postings tables union into a single groupBy(shard, term),
+    and each group decodes its parts in segment order, concatenates
+    (offsets ascending => doc order preserved) and re-encodes against
+    the merged avg_dl.  Merging K segments therefore costs ONE shuffle
+    of the compressed postings regardless of K — a fold of binary merges
+    would rewrite the whole index K-1 times.
+    """
+    if len(roots) < 2:
+        raise ValueError("merge_many_indexes needs at least two roots")
+    stores = [IndexStorage(r) for r in roots]
+    cfgs = [s.read_manifest().get("config", {}) for s in stores]
+    n_shards = None
+    analyzer = "reference"
+    positions = True
+    for i in range(1, len(cfgs)):
+        n_shards = int(_require(cfgs[0], cfgs[i], "n_shards"))
+        analyzer = _require(cfgs[0], cfgs[i], "analyzer", "reference")
+        positions = bool(_require(cfgs[0], cfgs[i], "positions", True))
     if n_groups is None:
-        n_groups = int(cfg_a.get("n_groups", 1) or 1)
+        n_groups = int(cfgs[0].get("n_groups", 1) or 1)
     if head_frac is None:
         head_frac = DEFAULT_HEAD_FRAC
 
-    num_docs_a = int(cfg_a["num_docs"])
-    num_docs_b = int(cfg_b["num_docs"])
-    total_tf = int(cfg_a["total_tf"]) + int(cfg_b["total_tf"])
-    num_docs = num_docs_a + num_docs_b
-    # shard-preserving shift: (d + offset) % n_shards == d % n_shards
-    offset = ((num_docs_a + n_shards - 1) // n_shards) * n_shards
+    nd_list = [int(c["num_docs"]) for c in cfgs]
+    total_tf = sum(int(c["total_tf"]) for c in cfgs)
+    num_docs = sum(nd_list)
+    offsets = doc_id_offsets(nd_list, n_shards)
     avg_dl = total_tf / max(1, num_docs)
 
     out = IndexStorage(out_root)
@@ -116,35 +163,39 @@ def merge_indexes(
             "build_id": build_id,
             "ts": time.time(),
             "merged_from": [
-                {"root": root_a, "snapshot_id": store_a.read_manifest().get("snapshot_id")},
-                {"root": root_b, "snapshot_id": store_b.read_manifest().get("snapshot_id")},
+                {"root": r, "snapshot_id": s.read_manifest().get("snapshot_id")}
+                for r, s in zip(roots, stores)
             ],
-            "doc_id_offset": offset,
+            "doc_id_offsets": offsets,
             "resumed_groups": sorted(done),
         }
     )
     out.write_manifest(manifest)
 
     # ---- docs / forward tables: union with the shifted id ---------------
-    def shifted(df):
-        return df.withColumn("doc_id", (F.col("doc_id") + F.lit(offset)).cast("long"))
+    def shifted(df, off):
+        if off == 0:
+            return df
+        return df.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
 
-    docs = store_a.read_table(spark, "docs").unionByName(
-        shifted(store_b.read_table(spark, "docs"))
-    )
-    out.write_table(docs, "docs")
+    def union_shifted(table):
+        dfs = [
+            shifted(s.read_table(spark, table), off)
+            for s, off in zip(stores, offsets)
+        ]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        return u
+
+    out.write_table(union_shifted("docs"), "docs")
     for opt_table in ("doc_terms", "doc_tokens"):
-        if store_a.exists(opt_table) and store_b.exists(opt_table):
-            out.write_table(
-                store_a.read_table(spark, opt_table).unionByName(
-                    shifted(store_b.read_table(spark, opt_table))
-                ),
-                opt_table,
-            )
+        if all(s.exists(opt_table) for s in stores):
+            out.write_table(union_shifted(opt_table), opt_table)
 
     max_dl = max(
-        int(store_a.read_table(spark, "stats").collect()[0]["max_dl"] or 0),
-        int(store_b.read_table(spark, "stats").collect()[0]["max_dl"] or 0),
+        int(s.read_table(spark, "stats").collect()[0]["max_dl"] or 0)
+        for s in stores
     )
     stats = spark.createDataFrame(
         pd.DataFrame(
@@ -154,15 +205,14 @@ def merge_indexes(
     out.write_table(stats, "stats")
 
     # ---- postings: decode + shift + concat + re-encode per (shard, term)
-    parts_a = store_a.read_partitioned(spark, "postings").withColumn(
-        "side", F.lit(0)
-    )
-    parts_b = store_b.read_partitioned(spark, "postings").withColumn(
-        "side", F.lit(1)
-    )
-    both = parts_a.unionByName(parts_b).select(
-        "shard", "term", "side", "df_shard", "ctf_shard", "blocks"
-    )
+    parts = [
+        s.read_partitioned(spark, "postings").withColumn("side", F.lit(i))
+        for i, s in enumerate(stores)
+    ]
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
+    both = both.select("shard", "term", "side", "df_shard", "ctf_shard", "blocks")
 
     def merge_batches(batches):
         import numpy as np
@@ -173,7 +223,8 @@ def merge_indexes(
             }
             for shard, term, parts in zip(pdf["shard"], pdf["term"], pdf["parts"]):
                 docs_l, tfs_l, dls_l, pos_l = [], [], [], []
-                # parts arrive unordered; side 0 (A) must precede side 1
+                # parts arrive unordered; segment order = doc_id order
+                # (offsets ascending, ranges disjoint)
                 for part in sorted(parts, key=lambda s: s["side"]):
                     d, t, dl, p = decode_posting_blocks(
                         [
@@ -186,8 +237,9 @@ def merge_indexes(
                         want_positions=positions,
                         want_doclens=True,
                     )
-                    if part["side"] == 1:
-                        d = d + offset
+                    off = offsets[part["side"]]
+                    if off:
+                        d = d + off
                     docs_l.append(d)
                     tfs_l.append(t)
                     dls_l.append(dl)
@@ -264,19 +316,20 @@ def merge_indexes(
     )
     out.write_table(term_stats, "term_stats")
 
-    out.finalize_snapshot(
-        {
-            "n_shards": n_shards,
-            "n_groups": n_groups,
-            "build_id": build_id,
-            "analyzer": analyzer,
-            "avg_dl": avg_dl,
-            "num_docs": num_docs,
-            "total_tf": total_tf,
-            "positions": positions,
-            "head_frac": head_frac,
-            "merged_from": [root_a, root_b],
-            "doc_id_offset": offset,
-        }
-    )
+    cfg = {
+        "n_shards": n_shards,
+        "n_groups": n_groups,
+        "build_id": build_id,
+        "analyzer": analyzer,
+        "avg_dl": avg_dl,
+        "num_docs": num_docs,
+        "total_tf": total_tf,
+        "positions": positions,
+        "head_frac": head_frac,
+        "merged_from": list(roots),
+        "doc_id_offsets": offsets,
+    }
+    if len(roots) == 2:
+        cfg["doc_id_offset"] = offsets[1]
+    out.finalize_snapshot(cfg)
     return out

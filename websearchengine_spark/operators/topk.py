@@ -237,6 +237,9 @@ def wand_topk(
     query: str,
     k: int = 10,
     two_phase: bool | None = None,
+    corpus_stats: tuple[int, int] | None = None,
+    df_override: dict[str, int] | None = None,
+    docs_join: bool = True,
 ) -> DataFrame:
     """BM25 top-k over the sharded index via the block-max kernel.
 
@@ -253,20 +256,45 @@ def wand_topk(
     the extra phase-1 job dominates; at cluster scale any real query
     crosses the cutoff.
 
+    ``corpus_stats=(num_docs, total_tf)`` and ``df_override={term: df}``
+    replace this index's OWN statistics with caller-supplied (e.g.
+    GLOBAL, multi-index) ones — the streaming live-search path
+    (streaming/ingest.py::search_live) scores every live index segment
+    with union statistics so that base+delta search is score-identical
+    to the compacted index.  Term PRESENCE is still checked against this
+    index (a doc here can only match if its terms are here).
+    ``docs_join=False`` returns bare (doc_id, score) without the
+    url/title metadata join — for callers that merge several indexes and
+    join metadata once at the end.
+
     Returns the same columns as query.run_query, ordered by
     (score desc, doc_id asc)."""
     store = IndexStorage(index_root)
     token_words = analyze_tokens(parse_query(query), index_analyzer(store))
     docs = store.read_table(spark, "docs")
+
+    def empty():
+        if docs_join:
+            return docs.limit(0).withColumn("score", F.lit(0.0)).select(*RESULT_COLS)
+        return spark.createDataFrame([], "doc_id long, score double")
+
     if not token_words:
-        return docs.limit(0).withColumn("score", F.lit(0.0)).select(*RESULT_COLS)
+        return empty()
     if any(len(ws) > 1 for ws in token_words):
         # phrase queries need positions -> single-query BATCH kernel:
         # one postings scan + one shard pass (positions decoded for the
         # phrase terms only), vs the DataFrame path's candidate/phrase/
         # scoring join chain.  Rank-identical to run_query's phrase path
         # (asserted by test_batch_query and test_wand_phrase_falls_back).
-        out = wand_topk_batch(spark, index_root, [query], k=k)
+        out = wand_topk_batch(
+            spark, index_root, [query], k=k,
+            corpus_stats=corpus_stats, df_override=df_override,
+            docs_join=docs_join,
+        )
+        if not docs_join:
+            return out.select("doc_id", "score").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
         return out.select(*RESULT_COLS).orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         )
@@ -278,6 +306,9 @@ def wand_topk(
     terms = sorted(qweights)
 
     num_docs, total_tf, avg_dl = _corpus_stats(spark, store)
+    if corpus_stats is not None:
+        num_docs, total_tf = corpus_stats
+        avg_dl = total_tf / max(1, num_docs)
     ts = (
         store.read_table(spark, "term_stats")
         .filter(F.col("term").isin(terms))
@@ -285,10 +316,11 @@ def wand_topk(
     )
     df_by_term = {r["term"]: r["df"] for r in ts}
     if len(df_by_term) < len(terms):
-        return docs.limit(0).withColumn("score", F.lit(0.0)).select(*RESULT_COLS)
+        return empty()
+    idf_df = df_override if df_override is not None else df_by_term
     idf = {
-        t: math.log((num_docs - df + 0.5) / (df + 0.5) + 1.0)
-        for t, df in df_by_term.items()
+        t: math.log((num_docs - idf_df[t] + 0.5) / (idf_df[t] + 0.5) + 1.0)
+        for t in df_by_term
     }
 
     postings = store.read_partitioned(spark, "postings").filter(
@@ -372,10 +404,11 @@ def wand_topk(
     if phase1_out:
         p1 = spark.createDataFrame(phase1_out, "doc_id long, score double")
         per_shard = per_shard.unionByName(p1)
+    topk = per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    if not docs_join:
+        return topk
     out = (
-        per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-        .join(docs, "doc_id")
+        topk.join(docs, "doc_id")
         .select(*RESULT_COLS)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
@@ -481,6 +514,9 @@ def wand_topk_batch(
     index_root: str,
     queries: list[str],
     k: int = 10,
+    corpus_stats: tuple[int, int] | None = None,
+    df_override: dict[str, int] | None = None,
+    docs_join: bool = True,
 ) -> DataFrame:
     """BM25 top-k for MANY queries in one job: postings for the union of
     all query terms are scanned once; each shard task scores every query
@@ -491,7 +527,12 @@ def wand_topk_batch(
     Phrase tokens ARE supported: positions are decoded in the kernel for
     the phrase terms only, and candidates are filtered to docs where the
     words occur adjacently — same semantics as run_query's phrase path,
-    rank-identical."""
+    rank-identical.
+
+    ``corpus_stats`` / ``df_override`` / ``docs_join``: see wand_topk —
+    the live multi-index search path supplies union statistics here and
+    joins metadata once after the cross-index merge (``docs_join=False``
+    returns (query, doc_id, score, rank) without the docs join)."""
     store = IndexStorage(index_root)
     analyzer = index_analyzer(store)
     docs = store.read_table(spark, "docs")
@@ -521,11 +562,15 @@ def wand_topk_batch(
         )
 
     num_docs, total_tf, avg_dl = _corpus_stats(spark, store)
+    if corpus_stats is not None:
+        num_docs, total_tf = corpus_stats
+        avg_dl = total_tf / max(1, num_docs)
     ts = store.read_table(spark, "term_stats").filter(F.col("term").isin(all_terms)).collect()
     df_by_term = {r["term"]: r["df"] for r in ts}
+    idf_df = df_override if df_override is not None else df_by_term
     idf = {
-        t: math.log((num_docs - df + 0.5) / (df + 0.5) + 1.0)
-        for t, df in df_by_term.items()
+        t: math.log((num_docs - idf_df[t] + 0.5) / (idf_df[t] + 0.5) + 1.0)
+        for t in df_by_term
     }
     # queries with a term absent from the corpus can never match
     specs = [
@@ -555,11 +600,17 @@ def wand_topk_batch(
     qnames = spark.createDataFrame(
         [(i, q) for i, q in enumerate(queries)], "qid long, query string"
     )
-    out = (
+    ranked = (
         per_shard.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .join(F.broadcast(qnames), "qid")
-        .join(docs, "doc_id")
+    )
+    if not docs_join:
+        return ranked.select("query", "doc_id", "score", "rank").orderBy(
+            "query", "rank"
+        )
+    out = (
+        ranked.join(docs, "doc_id")
         .select(
             "query", "doc_id", "url", "title", "score", "pagerank", "numviews", "rank"
         )

@@ -1,0 +1,331 @@
+"""Streaming incremental indexing: log-structured (LSM-style) index
+maintenance over a stream of crawled pages.
+
+The reference rebuilds its whole index per run (Indexer.constructIndex,
+IndexerInvertedCompressed.java:167-277 loops the corpus in batches and
+merges the batch maps at load time).  A continuously-crawled web corpus
+needs the streaming version of the same idea: new pages arrive forever,
+yesterday's 100 TB index must not be re-tokenized for today's 1 TB of
+new pages, and search must see new pages promptly WITHOUT waiting for a
+full rebuild.  This module provides that as a log-structured collection
+of ordinary index segments:
+
+    live root/
+      _live.json          catalog: segment list, applied batch ids,
+                          generation, lineage (the commit log)
+      delta-000000001/    a normal build_index output over ONE micro-batch
+      delta-000000002/
+      base-0000/          a compaction product (merge_many_indexes of
+                          earlier segments)
+
+  * INGEST (start_index_ingest): Structured Streaming ``foreachBatch``
+    builds each micro-batch into its own delta segment — a full,
+    self-contained index (resumable groups, manifest, metrics) over just
+    that batch's pages.  Batch application is IDEMPOTENT by batch_id
+    (exactly-once on top of foreachBatch's at-least-once redelivery:
+    an already-applied id is a no-op; a torn build is rebuilt under the
+    same id with build_index's own group resume, and only the final
+    atomic catalog write publishes it).
+  * SEARCH (search_live): BM25 WAND over ALL live segments, each scored
+    with the UNION corpus statistics (num_docs/total_tf summed from
+    segment manifests — zero Spark jobs; per-term global df summed from
+    the tiny term_stats lookups), per-segment top-k, then a global
+    (score desc, doc_id asc) merge.  Segment doc_ids map into the global
+    id space by the SAME cumulative shard-preserving offsets compaction
+    uses (merge.doc_id_offsets), so live search is doc_id- AND
+    score-IDENTICAL to searching the fully-compacted index — proven by
+    tests/test_streaming_ingest.py.  Per-segment top-k is sufficient:
+    segments partition the corpus, so the global top-k is a subset of
+    the union of per-segment top-ks.
+  * COMPACT (compact_live): merge_many_indexes folds every live segment
+    into a new base generation in ONE shuffle of the compressed postings
+    (no re-tokenization, K-way, see operators/merge.py), then atomically
+    swaps the catalog.  Search cost is O(#segments) small jobs, so the
+    classic LSM trade applies: compact when deltas accumulate.
+
+Scale: each delta build shuffles only its own batch's occurrences;
+compaction moves compressed blocks, not tokens; search adds one small
+job per segment (bounded by compaction policy).  Nothing on this path
+collects more than top-k rows and per-term stats to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from websearchengine_spark.operators.merge import doc_id_offsets, merge_many_indexes
+from websearchengine_spark.sources.storage import IndexStorage
+
+CATALOG_NAME = "_live.json"
+
+
+def _catalog_path(root: str) -> str:
+    return os.path.join(root, CATALOG_NAME)
+
+
+def read_live_catalog(root: str) -> dict:
+    p = _catalog_path(root)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {
+        "generation": 0,
+        "segments": [],        # [{"dir", "batch_id"|None, "num_docs"}] in id order
+        "applied_batches": [],  # batch ids already ingested (exactly-once)
+        "config": {},           # build kwargs pinned by the first batch
+        "lineage": [],          # append-only event log
+    }
+
+
+def _write_live_catalog(root: str, cat: dict) -> None:
+    os.makedirs(root, exist_ok=True)
+    tmp = _catalog_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cat, f, indent=2, sort_keys=True)
+    os.replace(tmp, _catalog_path(root))  # atomic publish
+
+
+def live_segment_roots(root: str) -> list[str]:
+    """Absolute segment roots in doc_id-space order (base first)."""
+    cat = read_live_catalog(root)
+    return [os.path.join(root, s["dir"]) for s in cat["segments"]]
+
+
+def apply_pages_batch(
+    spark: SparkSession,
+    pages: DataFrame,
+    batch_id: int,
+    root: str,
+    **build_kwargs,
+) -> str | None:
+    """Idempotently ingest one micro-batch: build a delta segment and
+    publish it in the catalog.  Returns the segment dir (None if the
+    batch was empty or already applied).
+
+    Exactly-once: foreachBatch redelivers batches after failures; an id
+    in ``applied_batches`` is skipped outright, and a half-built segment
+    dir (crash before the catalog write) is finished by build_index's
+    own per-group resume before the catalog write publishes it.  Build
+    kwargs are pinned by the FIRST batch (segments must share
+    n_shards/analyzer/positions to merge and to search together);
+    conflicting later kwargs raise."""
+    cat = read_live_catalog(root)
+    if batch_id in cat["applied_batches"]:
+        return None
+    if cat["config"]:
+        for key, val in build_kwargs.items():
+            if key in cat["config"] and cat["config"][key] != val:
+                raise ValueError(
+                    f"live index at {root} was created with {key}="
+                    f"{cat['config'][key]!r}; got {val!r}"
+                )
+        build_kwargs = cat["config"]
+    n_rows = pages.count()
+    if n_rows == 0:
+        cat["applied_batches"].append(batch_id)
+        cat["lineage"].append(
+            {"event": "empty_batch", "batch_id": batch_id, "ts": time.time()}
+        )
+        _write_live_catalog(root, cat)
+        return None
+
+    from websearchengine_spark.operators.build import build_index
+
+    seg_dir = f"delta-{batch_id:09d}"
+    seg_root = os.path.join(root, seg_dir)
+    store = build_index(spark, pages, seg_root, **build_kwargs)
+    cfg = store.read_manifest()["config"]
+
+    cat = read_live_catalog(root)  # re-read: the build can take a while
+    if batch_id in cat["applied_batches"]:
+        return None
+    if not cat["config"]:
+        cat["config"] = dict(build_kwargs)
+        # pin the format invariants even when left at build_index defaults
+        for key in ("n_shards", "n_groups", "analyzer", "positions"):
+            cat["config"].setdefault(key, cfg[key])
+    cat["segments"].append(
+        {"dir": seg_dir, "batch_id": batch_id, "num_docs": int(cfg["num_docs"])}
+    )
+    cat["applied_batches"].append(batch_id)
+    cat["lineage"].append(
+        {
+            "event": "delta_applied",
+            "batch_id": batch_id,
+            "dir": seg_dir,
+            "num_docs": int(cfg["num_docs"]),
+            "snapshot_id": store.read_manifest().get("snapshot_id"),
+            "ts": time.time(),
+        }
+    )
+    _write_live_catalog(root, cat)
+    return seg_root
+
+
+def start_index_ingest(
+    spark: SparkSession,
+    pages_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    **build_kwargs,
+):
+    """Attach the delta-build sink to a streaming pages DataFrame.
+
+    ``pages_stream`` is any readStream source with the pages schema the
+    batch builder accepts (url, text | html, ...).  Each micro-batch
+    becomes one delta segment via apply_pages_batch (idempotent, so the
+    checkpoint's at-least-once redelivery is safe).  Returns the
+    StreamingQuery; pass e.g. ``trigger={"availableNow": True}`` to
+    drain a backlog and stop."""
+    writer = pages_stream.writeStream.foreachBatch(
+        lambda batch_df, batch_id: apply_pages_batch(
+            spark, batch_df, batch_id, root, **build_kwargs
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def compact_live(
+    spark: SparkSession,
+    root: str,
+    min_segments: int = 2,
+    gc: bool = True,
+    **merge_kwargs,
+) -> str | None:
+    """Fold every live segment into one new base generation (K-way
+    merge, one compressed-postings shuffle) and atomically swap the
+    catalog.  Returns the new base dir, or None when fewer than
+    ``min_segments`` segments are live.  ``gc=True`` removes the
+    superseded segment dirs AFTER the swap; the catalog lineage keeps
+    their ids and snapshot ids (the commit log survives the files)."""
+    cat = read_live_catalog(root)
+    segs = list(cat["segments"])
+    if len(segs) < min_segments:
+        return None
+    seg_roots = [os.path.join(root, s["dir"]) for s in segs]
+    gen = int(cat["generation"]) + 1
+    base_dir = f"base-{gen:04d}"
+    out_root = os.path.join(root, base_dir)
+    out = merge_many_indexes(spark, seg_roots, out_root, **merge_kwargs)
+    num_docs = int(out.read_manifest()["config"]["num_docs"])
+
+    cat = read_live_catalog(root)
+    cat["generation"] = gen
+    cat["segments"] = [{"dir": base_dir, "batch_id": None, "num_docs": num_docs}]
+    cat["lineage"].append(
+        {
+            "event": "compacted",
+            "generation": gen,
+            "merged": [s["dir"] for s in segs],
+            "dir": base_dir,
+            "num_docs": num_docs,
+            "snapshot_id": out.read_manifest().get("snapshot_id"),
+            "ts": time.time(),
+        }
+    )
+    _write_live_catalog(root, cat)
+    if gc:
+        for r in seg_roots:
+            shutil.rmtree(r, ignore_errors=True)
+    return out_root
+
+
+def live_stats(spark: SparkSession, root: str) -> tuple[int, int, int]:
+    """(num_docs, total_tf, n_shards) of the union corpus — manifest
+    sums, zero Spark jobs."""
+    num_docs = total_tf = 0
+    n_shards = None
+    for seg in live_segment_roots(root):
+        cfg = IndexStorage(seg).read_manifest()["config"]
+        num_docs += int(cfg["num_docs"])
+        total_tf += int(cfg["total_tf"])
+        n_shards = int(cfg["n_shards"])
+    if n_shards is None:
+        raise ValueError(f"live index at {root} has no segments")
+    return num_docs, total_tf, n_shards
+
+
+def search_live(
+    spark: SparkSession,
+    root: str,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 WAND top-k over ALL live segments with UNION statistics.
+
+    Each segment is scored by wand_topk with the summed
+    (num_docs, total_tf) and per-term global df, its local doc_ids are
+    shifted by the cumulative shard-preserving offsets (merge.
+    doc_id_offsets — the SAME rule compaction applies), and the
+    per-segment top-ks merge on (score desc, doc_id asc).  The result is
+    doc_id- and score-identical to wand_topk over the compacted index:
+    compaction never changes what search returns, it only changes what
+    search costs.  Returns query.RESULT_COLS ordered like run_query."""
+    from websearchengine_spark.operators.query import RESULT_COLS
+    from websearchengine_spark.operators.topk import wand_topk
+
+    segs = live_segment_roots(root)
+    if not segs:
+        raise ValueError(f"live index at {root} has no segments")
+    stores = [IndexStorage(s) for s in segs]
+    cfgs = [s.read_manifest()["config"] for s in stores]
+    n_shards = int(cfgs[0]["n_shards"])
+    offsets = doc_id_offsets([int(c["num_docs"]) for c in cfgs], n_shards)
+    num_docs = sum(int(c["num_docs"]) for c in cfgs)
+    total_tf = sum(int(c["total_tf"]) for c in cfgs)
+
+    # global df for the query's terms: K tiny term_stats lookups
+    from websearchengine_spark.operators.query import (
+        analyze_tokens,
+        index_analyzer,
+        parse_query,
+    )
+
+    token_words = analyze_tokens(parse_query(query), index_analyzer(stores[0]))
+    terms = sorted({w for ws in token_words for w in ws})
+    gdf: dict[str, int] = {}
+    if terms:
+        for s in stores:
+            for r in (
+                s.read_table(spark, "term_stats")
+                .filter(F.col("term").isin(terms))
+                .collect()
+            ):
+                gdf[r["term"]] = gdf.get(r["term"], 0) + int(r["df"])
+
+    parts = []
+    for seg, off in zip(segs, offsets):
+        p = wand_topk(
+            spark, seg, query, k=k,
+            corpus_stats=(num_docs, total_tf), df_override=gdf,
+            docs_join=False,
+        )
+        if off:
+            p = p.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
+        parts.append(p)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    topk = merged.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    docs = None
+    for s, off in zip(stores, offsets):
+        d = s.read_table(spark, "docs")
+        if off:
+            d = d.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
+        docs = d if docs is None else docs.unionByName(d)
+    return (
+        F.broadcast(topk)
+        .join(docs, "doc_id")
+        .select(*RESULT_COLS)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )

@@ -42,3 +42,42 @@ def test_build_has_single_wide_shuffle(spark, corpus_pdf):
     # one Exchange NODE (the formatted output mentions each node in both
     # the tree and the detail section; count detail headers)
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_kway_merge_plan_single_compressed_shuffle(spark, corpus_pdf, tmp_path):
+    """K-way compaction's only wide operation is ONE Exchange over the
+    already-compressed postings tables — no token rescan, no occurrence
+    shuffle, regardless of how many segments merge (the LSM scale
+    claim in operators/merge.py)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators.build import build_index
+    from websearchengine_spark.sources.storage import IndexStorage
+
+    roots = []
+    for i in range(3):
+        lo, hi = 60 * i, min(60 * (i + 1), 200)
+        pages = spark.createDataFrame(corpus_pdf.iloc[lo:hi])
+        r = str(tmp_path / f"seg{i}")
+        build_index(spark, pages, r, n_shards=3, n_groups=1)
+        roots.append(r)
+    parts = [
+        IndexStorage(r).read_partitioned(spark, "postings").withColumn(
+            "side", F.lit(i)
+        )
+        for i, r in enumerate(roots)
+    ]
+    both = parts[0]
+    for q in parts[1:]:
+        both = both.unionByName(q)
+    grouped = (
+        both.select("shard", "term", "side", "blocks")
+        .groupBy("shard", "term")
+        .agg(F.collect_list(F.struct("side", "blocks")).alias("parts"))
+    )
+    p = plan_of(grouped, "formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    # the scan reads the compressed postings tables, not pages/tokens
+    assert "postings" in p

@@ -107,6 +107,21 @@ def test_search_live_identical_to_full_build(spark, live, query):
         assert abs(s1 - s2) < 1e-9
 
 
+def test_search_front_door_serves_live_roots(spark, live):
+    """query.search() transparently serves a live root: bm25 routes to
+    search_live; the reference scorers raise on multi-segment roots
+    (their statistics tables are per-segment) with the compaction fix
+    named.  MUST run before the compaction test — the module fixture's
+    root has 3 segments only until then."""
+    from websearchengine_spark.operators.query import search
+
+    got = _ds(search(spark, live["root"], "web search", ranker="bm25", k=10))
+    want = _ds(search_live(spark, live["root"], "web search", k=10))
+    assert got == want
+    with pytest.raises(ValueError, match="compact_live"):
+        search(spark, live["root"], "web search", ranker="comprehensive", k=10)
+
+
 def test_compact_then_search_identical(spark, live):
     """Compaction changes cost, not results: per-query (doc_id, score,
     url) survive the 3-way merge byte-for-byte; catalog swaps to one
@@ -133,6 +148,37 @@ def test_compact_then_search_identical(spark, live):
         assert _ds(wand_topk(spark, new_base, q, k=10)) == before[q]
     # idempotent below threshold: one segment < min_segments
     assert compact_live(spark, live["root"], min_segments=2) is None
+
+
+def test_search_front_door_after_compaction(spark, corpus_pdf, tmp_path):
+    """On a compacted (single-segment) live root the reference scorers
+    run against the base segment transparently and match run_query on a
+    from-scratch full build (url/score identity)."""
+    from websearchengine_spark.operators.query import run_query, search
+
+    root = str(tmp_path / "live")
+    for i, part in enumerate(_parts(spark, corpus_pdf)):
+        apply_pages_batch(spark, part, i, root, n_shards=N_SHARDS, n_groups=2)
+    compact_live(spark, root)
+    full = str(tmp_path / "full")
+    build_index(
+        spark, spark.createDataFrame(corpus_pdf), full,
+        n_shards=N_SHARDS, n_groups=2,
+    )
+    got = [
+        (r["url"], round(r["score"], 9))
+        for r in search(
+            spark, root, "data mining", ranker="comprehensive", k=10
+        ).collect()
+    ]
+    want = [
+        (r["url"], round(r["score"], 9))
+        for r in run_query(
+            spark, full, "data mining", ranker="comprehensive", k=10
+        ).collect()
+    ]
+    assert [s for _, s in got] == [s for _, s in want]
+    assert sorted(u for u, _ in got) == sorted(u for u, _ in want)
 
 
 def test_foreachbatch_stream_ingest(spark, corpus_pdf, tmp_path):

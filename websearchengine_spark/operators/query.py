@@ -389,7 +389,34 @@ def search(
     """The engine's front door: routes BM25 plain queries to the
     block-max WAND kernel and everything else (phrase queries, the
     reference scorers) through the DataFrame path.  Same result either
-    way — the routing is purely physical."""
+    way — the routing is purely physical.
+
+    A LIVE root (streaming/ingest.py catalog present) serves BM25 via
+    search_live (multi-segment, union statistics — identical results to
+    the compacted index).  The reference scorers need a single segment's
+    statistics tables; on a compacted (single-segment) live root they
+    run against that segment transparently, and on a multi-segment root
+    they raise with the fix spelled out rather than silently mis-scoring."""
+    import os
+
+    from websearchengine_spark.streaming.ingest import (
+        CATALOG_NAME,
+        live_segment_roots,
+        search_live,
+    )
+
+    if os.path.exists(os.path.join(index_root, CATALOG_NAME)):
+        if ranker == "bm25":
+            return search_live(spark, index_root, query, k=k)
+        segs = live_segment_roots(index_root)
+        if len(segs) == 1:
+            return run_query(spark, segs[0], query, ranker=ranker, k=k)
+        raise ValueError(
+            f"live index at {index_root} has {len(segs)} segments; "
+            f"ranker={ranker!r} needs a single segment's statistics — "
+            "run compact_live(spark, root) first (bm25 serves live roots "
+            "directly)"
+        )
     if ranker == "bm25":
         from websearchengine_spark.operators.topk import wand_topk
 

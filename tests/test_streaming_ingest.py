@@ -181,6 +181,99 @@ def test_search_front_door_after_compaction(spark, corpus_pdf, tmp_path):
     assert sorted(u for u, _ in got) == sorted(u for u, _ in want)
 
 
+def test_recrawl_upsert_supersedes_and_compacts(spark, corpus_pdf, tmp_path):
+    """The re-crawl semantic end-to-end: a later batch re-crawling 40
+    urls tombstones the old versions (invisible immediately), and
+    compaction physically drops them with statistics corrected — the
+    compacted live index is score-identical to a from-scratch build of
+    the latest-version corpus."""
+    by_url = corpus_pdf.sort_values("url").reset_index(drop=True)
+    recrawl = by_url.iloc[50:90].copy()
+    recrawl["text"] = [
+        f"recrawled fresh canonical data mining corpus version {i}"
+        for i in range(len(recrawl))
+    ]
+    recrawl["html"] = [
+        f"<html><head><title>recrawl</title></head><body>{t}</body></html>".encode()
+        for t in recrawl["text"]
+    ]
+    recrawled_urls = set(recrawl["url"])
+
+    root = str(tmp_path / "live")
+    apply_pages_batch(
+        spark, spark.createDataFrame(by_url), 0, root,
+        n_shards=N_SHARDS, n_groups=2,
+    )
+    apply_pages_batch(spark, spark.createDataFrame(recrawl), 1, root)
+    cat = read_live_catalog(root)
+    assert cat["lineage"][-1]["tombstoned"] == 40
+
+    # the old versions are invisible NOW: every hit for the re-crawled
+    # urls comes from the new segment's id range, no url twice
+    offsets_1 = 200  # segment 0 has 200 docs, multiple of n_shards
+    hits = search_live(spark, root, "recrawled fresh", k=50).collect()
+    assert {r["url"] for r in hits} == recrawled_urls
+    assert all(r["doc_id"] >= offsets_1 for r in hits)
+    broad = search_live(spark, root, "data mining", k=200).collect()
+    urls = [r["url"] for r in broad]
+    assert len(urls) == len(set(urls))
+    for r in broad:
+        if r["url"] in recrawled_urls:
+            assert r["doc_id"] >= offsets_1
+
+    # compaction: physical delete + statistics correction
+    compact_live(spark, root)
+    cat = read_live_catalog(root)
+    assert cat["segments"][0]["num_docs"] == 200  # 200 + 40 - 40
+    assert cat["segments"][0]["id_span"] == 240   # id space NOT remapped
+    assert cat["lineage"][-1]["deleted"] == {"delta-000000000": 40}
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    assert {r["url"] for r in search_live(
+        spark, root, "recrawled fresh", k=50
+    ).collect()} == recrawled_urls
+
+    # score identity vs a from-scratch build of the LATEST corpus
+    latest = by_url.copy()
+    latest.loc[50:89, "text"] = recrawl["text"].values
+    latest.loc[50:89, "html"] = recrawl["html"].values
+    full = str(tmp_path / "full_latest")
+    build_index(
+        spark, spark.createDataFrame(latest), full,
+        n_shards=N_SHARDS, n_groups=2,
+    )
+    for q in ("data mining", "web search", "recrawled fresh", '"data mining"'):
+        got = [
+            (r["url"], r["score"])
+            for r in search_live(spark, root, q, k=10).collect()
+        ]
+        want = [
+            (r["url"], r["score"])
+            for r in wand_topk(spark, full, q, k=10).collect()
+        ]
+        assert len(got) == len(want), q
+        for (_, s1), (_, s2) in zip(got, want):
+            assert abs(s1 - s2) < 1e-9, (q, s1, s2)
+        by_s_got, by_s_want = {}, {}
+        for u, s in got:
+            by_s_got.setdefault(round(s, 9), []).append(u)
+        for u, s in want:
+            by_s_want.setdefault(round(s, 9), []).append(u)
+        for sk in by_s_want:
+            assert sorted(by_s_got[sk]) == sorted(by_s_want[sk]), q
+
+    # a further batch lands ABOVE the base's id span (no collisions:
+    # offsets derive from id_span=240, not the post-delete num_docs=200)
+    more = by_url.iloc[190:200].copy()
+    more["url"] = ["znew" + u for u in more["url"]]
+    more["text"] = [f"zzzunique collision probe {i}" for i in range(len(more))]
+    apply_pages_batch(spark, spark.createDataFrame(more), 2, root)
+    cat = read_live_catalog(root)
+    assert cat["segments"][-1]["dir"] == "delta-000000002"
+    probe = search_live(spark, root, "zzzunique collision", k=20).collect()
+    assert len(probe) == 10
+    assert all(r["doc_id"] >= 240 for r in probe)
+
+
 def test_foreachbatch_stream_ingest(spark, corpus_pdf, tmp_path):
     """The real Structured Streaming path: a file-source backlog drained
     availableNow with maxFilesPerTrigger=1 becomes one delta segment per

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -117,6 +118,7 @@ def merge_many_indexes(
     block_size: int = BLOCK_SIZE,
     head_frac: float | None = None,
     resume: bool = True,
+    deleted_doc_ids: dict[int, "list[int]"] | None = None,
 ) -> IndexStorage:
     """K-way index merge in ONE pass — the compaction primitive for
     incremental (streaming) indexing.
@@ -129,6 +131,16 @@ def merge_many_indexes(
     the merged avg_dl.  Merging K segments therefore costs ONE shuffle
     of the compressed postings regardless of K — a fold of binary merges
     would rewrite the whole index K-1 times.
+
+    ``deleted_doc_ids`` maps segment INDEX -> LOCAL doc_ids to drop
+    physically (live-index tombstones from superseding re-crawls): the
+    docs/forward tables anti-join them out, the postings mask them
+    during decode (tf/positions included), and num_docs/total_tf/avg_dl
+    are recomputed over the SURVIVORS — so block-max impact bounds and
+    BM25 statistics come out exactly as if the deleted docs had never
+    been indexed.  doc_id offsets still derive from the ORIGINAL segment
+    sizes (ids are never remapped, deleted ids just vanish), keeping the
+    id space stable across compactions.
     """
     if len(roots) < 2:
         raise ValueError("merge_many_indexes needs at least two roots")
@@ -146,11 +158,32 @@ def merge_many_indexes(
     if head_frac is None:
         head_frac = DEFAULT_HEAD_FRAC
 
-    nd_list = [int(c["num_docs"]) for c in cfgs]
+    # offsets derive from each segment's ID-SPACE EXTENT (id_span), not
+    # its live doc count: deletions drop ids without remapping the
+    # space, so a post-delete segment still occupies [0, id_span) and a
+    # smaller num_docs-based offset would collide later segments' ids.
+    # Built segments have dense ids (span == num_docs); compacted bases
+    # record their span explicitly.
+    nd_list = [int(c.get("id_span", c["num_docs"])) for c in cfgs]
     total_tf = sum(int(c["total_tf"]) for c in cfgs)
-    num_docs = sum(nd_list)
+    num_docs = sum(int(c["num_docs"]) for c in cfgs)
     offsets = doc_id_offsets(nd_list, n_shards)
+    id_span = offsets[-1] + (
+        (nd_list[-1] + n_shards - 1) // n_shards
+    ) * n_shards
     avg_dl = total_tf / max(1, num_docs)
+
+    dels: dict[int, np.ndarray] = {
+        int(i): np.sort(np.asarray(list(ids), dtype=np.int64))
+        for i, ids in (deleted_doc_ids or {}).items()
+        if ids is not None and len(ids)
+    }
+    del_dfs = {
+        i: F.broadcast(
+            spark.createDataFrame([(int(x),) for x in ids], "doc_id long")
+        )
+        for i, ids in dels.items()
+    }
 
     out = IndexStorage(out_root)
     manifest = out.read_manifest()
@@ -167,6 +200,7 @@ def merge_many_indexes(
                 for r, s in zip(roots, stores)
             ],
             "doc_id_offsets": offsets,
+            "deleted_counts": {str(i): int(a.size) for i, a in dels.items()},
             "resumed_groups": sorted(done),
         }
     )
@@ -179,10 +213,12 @@ def merge_many_indexes(
         return df.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
 
     def union_shifted(table):
-        dfs = [
-            shifted(s.read_table(spark, table), off)
-            for s, off in zip(stores, offsets)
-        ]
+        dfs = []
+        for i, (s, off) in enumerate(zip(stores, offsets)):
+            df = s.read_table(spark, table)
+            if i in del_dfs:
+                df = df.join(del_dfs[i], "doc_id", "anti")
+            dfs.append(shifted(df, off))
         u = dfs[0]
         for d in dfs[1:]:
             u = u.unionByName(d)
@@ -193,10 +229,24 @@ def merge_many_indexes(
         if all(s.exists(opt_table) for s in stores):
             out.write_table(union_shifted(opt_table), opt_table)
 
-    max_dl = max(
-        int(s.read_table(spark, "stats").collect()[0]["max_dl"] or 0)
-        for s in stores
-    )
+    if dels:
+        # corpus statistics over the SURVIVORS: one scan of the (small,
+        # columnar) merged docs table replaces the manifest sums, so the
+        # re-encoded impact bounds and BM25 stats match a from-scratch
+        # build of the post-delete corpus exactly
+        srow = out.read_table(spark, "docs").agg(
+            F.count("*").cast("long").alias("num_docs"),
+            F.sum("doc_len").cast("long").alias("total_tf"),
+            F.max("doc_len").cast("long").alias("max_dl"),
+        ).collect()[0]
+        num_docs, total_tf = int(srow["num_docs"]), int(srow["total_tf"] or 0)
+        max_dl = int(srow["max_dl"] or 0)
+        avg_dl = total_tf / max(1, num_docs)
+    else:
+        max_dl = max(
+            int(s.read_table(spark, "stats").collect()[0]["max_dl"] or 0)
+            for s in stores
+        )
     stats = spark.createDataFrame(
         pd.DataFrame(
             {"num_docs": [num_docs], "total_tf": [total_tf], "max_dl": [max_dl]}
@@ -237,6 +287,14 @@ def merge_many_indexes(
                         want_positions=positions,
                         want_doclens=True,
                     )
+                    da = dels.get(int(part["side"]))
+                    if da is not None and d.size:
+                        keep = ~np.isin(d, da)
+                        if not keep.all():
+                            if positions and p is not None:
+                                # flat positions align per-occurrence
+                                p = p[np.repeat(keep, t)]
+                            d, t, dl = d[keep], t[keep], dl[keep]
                     off = offsets[part["side"]]
                     if off:
                         d = d + off
@@ -246,6 +304,8 @@ def merge_many_indexes(
                     if positions:
                         pos_l.append(p)
                 d = np.concatenate(docs_l)
+                if d.size == 0:
+                    continue  # every posting of this term was deleted
                 t = np.concatenate(tfs_l)
                 dl = np.concatenate(dls_l)
                 p = np.concatenate(pos_l) if positions else None
@@ -328,6 +388,7 @@ def merge_many_indexes(
         "head_frac": head_frac,
         "merged_from": list(roots),
         "doc_id_offsets": offsets,
+        "id_span": id_span,
     }
     if len(roots) == 2:
         cfg["doc_id_offset"] = offsets[1]

@@ -80,10 +80,15 @@ def shard_bm25_topk(
     avg_dl: float,
     k: int,
     threshold: float = -math.inf,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Pure kernel for ONE shard: term -> blocks, returns (doc_ids, scores,
     stats).  ``threshold``: scores <= threshold may be dropped (used for
     cross-shard pruning when a running bound is known; -inf = exact).
+    ``exclude``: doc_ids masked out of the candidate set BEFORE scoring
+    (live-index tombstones: docs superseded by a re-crawl but not yet
+    physically removed by compaction) — the surviving top-k is exact
+    over the non-excluded corpus.
 
     Conjunctive semantics: a doc must contain ALL terms.  Stats record
     blocks decoded vs total (the block-max skip evidence).
@@ -131,6 +136,8 @@ def shard_bm25_topk(
         stats["blocks_total"] += ntot
         per_term[t] = (d, tf, dl)
         cand = cand[np.isin(cand, d, assume_unique=True)]
+    if exclude is not None and exclude.size and cand.size:
+        cand = cand[~np.isin(cand, exclude)]
     stats["candidates"] = int(cand.size)
     if cand.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64), stats
@@ -240,6 +247,7 @@ def wand_topk(
     corpus_stats: tuple[int, int] | None = None,
     df_override: dict[str, int] | None = None,
     docs_join: bool = True,
+    exclude_doc_ids=None,
 ) -> DataFrame:
     """BM25 top-k over the sharded index via the block-max kernel.
 
@@ -265,7 +273,10 @@ def wand_topk(
     index (a doc here can only match if its terms are here).
     ``docs_join=False`` returns bare (doc_id, score) without the
     url/title metadata join — for callers that merge several indexes and
-    join metadata once at the end.
+    join metadata once at the end.  ``exclude_doc_ids`` (any int
+    iterable) masks tombstoned docs out of every candidate set before
+    scoring — live-index deletes are invisible at query time and
+    physically removed at compaction (Lucene-style visibility).
 
     Returns the same columns as query.run_query, ordered by
     (score desc, doc_id asc)."""
@@ -289,7 +300,7 @@ def wand_topk(
         out = wand_topk_batch(
             spark, index_root, [query], k=k,
             corpus_stats=corpus_stats, df_override=df_override,
-            docs_join=docs_join,
+            docs_join=docs_join, exclude_doc_ids=exclude_doc_ids,
         )
         if not docs_join:
             return out.select("doc_id", "score").orderBy(
@@ -304,6 +315,11 @@ def wand_topk(
     for w in words:
         qweights[w] = qweights.get(w, 0.0) + 1.0
     terms = sorted(qweights)
+    excl = (
+        np.sort(np.asarray(list(exclude_doc_ids), dtype=np.int64))
+        if exclude_doc_ids is not None and len(exclude_doc_ids)
+        else None
+    )
 
     num_docs, total_tf, avg_dl = _corpus_stats(spark, store)
     if corpus_stats is not None:
@@ -376,7 +392,9 @@ def wand_topk(
         )
         if rows0:
             term_lists0 = {r["term"]: _rows_to_blocks(r["blocks"]) for r in rows0}
-            d0, s0, _st0 = shard_bm25_topk(term_lists0, qweights, idf, avg_dl, k)
+            d0, s0, _st0 = shard_bm25_topk(
+                term_lists0, qweights, idf, avg_dl, k, exclude=excl
+            )
             phase1_out = [(int(d), float(s)) for d, s in zip(d0, s0)]
             if d0.size >= k:
                 threshold = float(s0[k - 1]) - WAND_PRUNE_EPS
@@ -388,7 +406,7 @@ def wand_topk(
             t: _rows_to_blocks(b) for t, b in zip(pdf["term"], pdf["blocks"])
         }
         d, s, stats = shard_bm25_topk(
-            term_lists, qweights, idf, avg_dl, k, threshold=thr
+            term_lists, qweights, idf, avg_dl, k, threshold=thr, exclude=excl
         )
         for key in ("pruned_by_ub", "blocks_decoded", "blocks_total", "candidates"):
             acc[key].add(stats[key])
@@ -421,6 +439,7 @@ def shard_bm25_topk_batch(
     idf: dict[str, float],
     avg_dl: float,
     k: int,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batch kernel for ONE shard: score MANY queries against the shard's
     posting blocks, decoding each term exactly once (throughput mode —
@@ -477,6 +496,8 @@ def shard_bm25_topk_batch(
             if cand.size == 0:
                 break
             cand = phrase_docs(ph, cand)
+        if exclude is not None and exclude.size and cand.size:
+            cand = cand[~np.isin(cand, exclude)]
         if cand.size == 0:
             continue
         scores = np.zeros(cand.size)
@@ -517,6 +538,7 @@ def wand_topk_batch(
     corpus_stats: tuple[int, int] | None = None,
     df_override: dict[str, int] | None = None,
     docs_join: bool = True,
+    exclude_doc_ids=None,
 ) -> DataFrame:
     """BM25 top-k for MANY queries in one job: postings for the union of
     all query terms are scanned once; each shard task scores every query
@@ -586,9 +608,17 @@ def wand_topk_batch(
         F.col("term").isin(all_terms)
     )
 
+    excl = (
+        np.sort(np.asarray(list(exclude_doc_ids), dtype=np.int64))
+        if exclude_doc_ids is not None and len(exclude_doc_ids)
+        else None
+    )
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         term_lists = {t: _rows_to_blocks(b) for t, b in zip(pdf["term"], pdf["blocks"])}
-        q, d, s = shard_bm25_topk_batch(term_lists, specs, idf, avg_dl, k)
+        q, d, s = shard_bm25_topk_batch(
+            term_lists, specs, idf, avg_dl, k, exclude=excl
+        )
         return pd.DataFrame({"qid": q, "doc_id": d, "score": s})
 
     per_shard = postings.select("shard", "term", "blocks").groupBy("shard").applyInPandas(

@@ -42,6 +42,13 @@ of ordinary index segments:
     (no re-tokenization, K-way, see operators/merge.py), then atomically
     swaps the catalog.  Search cost is O(#segments) small jobs, so the
     classic LSM trade applies: compact when deltas accumulate.
+  * UPSERT (the re-crawl semantic, on by default): a url re-appearing in
+    a later batch supersedes its earlier version — the old doc_ids are
+    TOMBSTONED (broadcast semi-join per earlier segment, written under
+    tombstones/), masked out of every search immediately, and physically
+    dropped — statistics corrected — at compaction.  Deleted ids vanish
+    without remapping the id space; each segment records its id_span so
+    later offsets clear the full occupied range.
 
 Scale: each delta build shuffles only its own batch's occurrences;
 compaction moves compressed blocks, not tokens; search adds one small
@@ -63,6 +70,7 @@ from websearchengine_spark.operators.merge import doc_id_offsets, merge_many_ind
 from websearchengine_spark.sources.storage import IndexStorage
 
 CATALOG_NAME = "_live.json"
+TOMBSTONES_DIR = "tombstones"
 
 
 def _catalog_path(root: str) -> str:
@@ -97,11 +105,37 @@ def live_segment_roots(root: str) -> list[str]:
     return [os.path.join(root, s["dir"]) for s in cat["segments"]]
 
 
+def read_tombstones(spark: SparkSession, root: str) -> dict[str, "object"]:
+    """{segment_dir: np.ndarray of LOCAL doc_ids superseded by later
+    re-crawls}.  Tombstoned docs are excluded from every search until
+    compaction physically removes them (Lucene-style delete visibility:
+    invisible immediately, statistics corrected at merge)."""
+    import numpy as np
+
+    p = os.path.join(root, TOMBSTONES_DIR)
+    if not os.path.isdir(p) or not any(
+        e.startswith("batch-") for e in os.listdir(p)
+    ):
+        return {}
+    rows = (
+        spark.read.parquet(os.path.join(p, "batch-*"))
+        .distinct()
+        .collect()
+    )
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r["seg"], []).append(r["doc_id"])
+    return {
+        seg: np.sort(np.asarray(ids, dtype=np.int64)) for seg, ids in out.items()
+    }
+
+
 def apply_pages_batch(
     spark: SparkSession,
     pages: DataFrame,
     batch_id: int,
     root: str,
+    upsert: bool = True,
     **build_kwargs,
 ) -> str | None:
     """Idempotently ingest one micro-batch: build a delta segment and
@@ -114,7 +148,17 @@ def apply_pages_batch(
     own per-group resume before the catalog write publishes it.  Build
     kwargs are pinned by the FIRST batch (segments must share
     n_shards/analyzer/positions to merge and to search together);
-    conflicting later kwargs raise."""
+    conflicting later kwargs raise.
+
+    ``upsert=True`` (default, the re-crawl semantic): a url appearing in
+    this batch SUPERSEDES any earlier segment's version — the earlier
+    doc_ids are tombstoned (one broadcast semi-join of the new batch's
+    urls against each earlier segment's docs table, written atomically
+    under tombstones/batch-<id>), excluded from every search, and
+    physically dropped with statistics corrected at the next compaction.
+    Urls must be unique WITHIN a batch (build_index requires that
+    regardless).  ``upsert=False`` appends blindly (duplicate urls
+    become distinct docs)."""
     cat = read_live_catalog(root)
     if batch_id in cat["applied_batches"]:
         return None
@@ -145,13 +189,36 @@ def apply_pages_batch(
     cat = read_live_catalog(root)  # re-read: the build can take a while
     if batch_id in cat["applied_batches"]:
         return None
+
+    n_tombstoned = 0
+    if upsert and cat["segments"]:
+        new_urls = F.broadcast(store.read_table(spark, "docs").select("url"))
+        hits = None
+        for seg in cat["segments"]:
+            seg_docs = IndexStorage(
+                os.path.join(root, seg["dir"])
+            ).read_table(spark, "docs")
+            h = seg_docs.join(new_urls, "url", "semi").select(
+                F.lit(seg["dir"]).alias("seg"), "doc_id"
+            )
+            hits = h if hits is None else hits.unionByName(h)
+        # overwrite = idempotent under crash-and-redeliver; published by
+        # the (atomic) catalog write below, same as the segment itself
+        tomb_path = os.path.join(root, TOMBSTONES_DIR, f"batch-{batch_id:09d}")
+        hits.write.mode("overwrite").parquet(tomb_path)
+        n_tombstoned = spark.read.parquet(tomb_path).count()
     if not cat["config"]:
         cat["config"] = dict(build_kwargs)
         # pin the format invariants even when left at build_index defaults
         for key in ("n_shards", "n_groups", "analyzer", "positions"):
             cat["config"].setdefault(key, cfg[key])
     cat["segments"].append(
-        {"dir": seg_dir, "batch_id": batch_id, "num_docs": int(cfg["num_docs"])}
+        {
+            "dir": seg_dir,
+            "batch_id": batch_id,
+            "num_docs": int(cfg["num_docs"]),
+            "id_span": int(cfg["num_docs"]),  # built segments: dense ids
+        }
     )
     cat["applied_batches"].append(batch_id)
     cat["lineage"].append(
@@ -160,6 +227,7 @@ def apply_pages_batch(
             "batch_id": batch_id,
             "dir": seg_dir,
             "num_docs": int(cfg["num_docs"]),
+            "tombstoned": n_tombstoned,
             "snapshot_id": store.read_manifest().get("snapshot_id"),
             "ts": time.time(),
         }
@@ -212,15 +280,32 @@ def compact_live(
     if len(segs) < min_segments:
         return None
     seg_roots = [os.path.join(root, s["dir"]) for s in segs]
+    tombs = read_tombstones(spark, root)
+    deleted = {
+        i: tombs[s["dir"]] for i, s in enumerate(segs) if s["dir"] in tombs
+    }
     gen = int(cat["generation"]) + 1
     base_dir = f"base-{gen:04d}"
     out_root = os.path.join(root, base_dir)
-    out = merge_many_indexes(spark, seg_roots, out_root, **merge_kwargs)
-    num_docs = int(out.read_manifest()["config"]["num_docs"])
+    out = merge_many_indexes(
+        spark, seg_roots, out_root, deleted_doc_ids=deleted or None,
+        **merge_kwargs,
+    )
+    out_cfg = out.read_manifest()["config"]
+    num_docs = int(out_cfg["num_docs"])
 
     cat = read_live_catalog(root)
     cat["generation"] = gen
-    cat["segments"] = [{"dir": base_dir, "batch_id": None, "num_docs": num_docs}]
+    cat["segments"] = [
+        {
+            "dir": base_dir,
+            "batch_id": None,
+            "num_docs": num_docs,
+            # deletions leave id gaps: the base still OCCUPIES the merged
+            # span, so later segment offsets must clear it, not num_docs
+            "id_span": int(out_cfg["id_span"]),
+        }
+    ]
     cat["lineage"].append(
         {
             "event": "compacted",
@@ -228,6 +313,7 @@ def compact_live(
             "merged": [s["dir"] for s in segs],
             "dir": base_dir,
             "num_docs": num_docs,
+            "deleted": {seg: int(a.size) for seg, a in tombs.items()},
             "snapshot_id": out.read_manifest().get("snapshot_id"),
             "ts": time.time(),
         }
@@ -236,6 +322,7 @@ def compact_live(
     if gc:
         for r in seg_roots:
             shutil.rmtree(r, ignore_errors=True)
+        shutil.rmtree(os.path.join(root, TOMBSTONES_DIR), ignore_errors=True)
     return out_root
 
 
@@ -269,7 +356,11 @@ def search_live(
     per-segment top-ks merge on (score desc, doc_id asc).  The result is
     doc_id- and score-identical to wand_topk over the compacted index:
     compaction never changes what search returns, it only changes what
-    search costs.  Returns query.RESULT_COLS ordered like run_query."""
+    search costs.  (With PENDING tombstones the superseded docs are
+    already invisible but still count in df/num_docs until compaction —
+    the standard Lucene visibility contract; after compaction the
+    statistics equal a from-scratch build of the latest-version corpus.)
+    Returns query.RESULT_COLS ordered like run_query."""
     from websearchengine_spark.operators.query import RESULT_COLS
     from websearchengine_spark.operators.topk import wand_topk
 
@@ -279,9 +370,15 @@ def search_live(
     stores = [IndexStorage(s) for s in segs]
     cfgs = [s.read_manifest()["config"] for s in stores]
     n_shards = int(cfgs[0]["n_shards"])
-    offsets = doc_id_offsets([int(c["num_docs"]) for c in cfgs], n_shards)
+    offsets = doc_id_offsets(
+        [int(c.get("id_span", c["num_docs"])) for c in cfgs], n_shards
+    )
     num_docs = sum(int(c["num_docs"]) for c in cfgs)
     total_tf = sum(int(c["total_tf"]) for c in cfgs)
+    # tombstoned (superseded-by-re-crawl) docs are masked out of every
+    # segment's candidate sets; their df/num_docs contributions remain
+    # until compaction corrects the statistics (Lucene-style visibility)
+    tombs = read_tombstones(spark, root)
 
     # global df for the query's terms: K tiny term_stats lookups
     from websearchengine_spark.operators.query import (
@@ -308,6 +405,7 @@ def search_live(
             spark, seg, query, k=k,
             corpus_stats=(num_docs, total_tf), df_override=gdf,
             docs_join=False,
+            exclude_doc_ids=tombs.get(os.path.basename(seg)),
         )
         if off:
             p = p.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))

@@ -2169,6 +2169,90 @@ def q_live_bm25_top20(spark, sf_dir):
 SQL_LIVE_BM25_TOP20 = SQL_BM25_TOPK  # live segments reproduce the batch build
 
 
+_RECRAWL_PREFIX = "recrawl fresh data stream join probe v"
+_LIVE_RECRAWL_CACHE: dict[str, str] = {}
+
+
+def _live_recrawl_root(spark, sf_dir: str) -> str:
+    """Live root exercising the UPSERT path: batch 0 ingests the whole
+    documents corpus; batch 1 RE-CRAWLS the last quarter (doc_id >=
+    3n/4) with replacement text; compact_live physically drops the
+    superseded versions and corrects the statistics.  The replacement
+    text is SQL-reproducible so the oracle can rebuild the latest-
+    version corpus in a CTE."""
+    import tempfile
+
+    root = _LIVE_RECRAWL_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "_live.json")):
+        return root
+    from websearchengine_spark.session import make_pyfiles_zip
+    from websearchengine_spark.streaming.ingest import (
+        apply_pages_batch,
+        compact_live,
+    )
+
+    try:
+        spark.sparkContext.addPyFile(make_pyfiles_zip())
+    except Exception:
+        pass
+    root = tempfile.mkdtemp(prefix="wse_entry_recrawl_")
+    docs = _docs(spark, sf_dir)
+    cut = docs.count() * 3 // 4
+    url = F.concat(
+        F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 9, "0")
+    ).alias("url")
+    apply_pages_batch(
+        spark, docs.select(url, "text"), 0, root,
+        n_shards=8, n_groups=2, analyzer="whitespace", keep_doc_terms=False,
+    )
+    recrawl = docs.filter(F.col("doc_id") >= cut).select(
+        url,
+        F.concat(
+            F.lit(_RECRAWL_PREFIX), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    apply_pages_batch(spark, recrawl, 1, root)
+    compact_live(spark, root)
+    _LIVE_RECRAWL_CACHE[sf_dir] = root
+    return root
+
+
+def q_live_recrawl_bm25_top20(spark, sf_dir):
+    """Upsert == rebuild, driver-gated: after a re-crawl batch replaces
+    the last quarter's text and compaction drops the superseded docs,
+    BM25 top-20 must hash-match the oracle computed over the LATEST-
+    version corpus (a CASE CTE over documents).  Returned ids map from
+    the live id space back to url-rank ids via the url (the stable
+    key); ordering re-pins (rounded score desc, url-rank id asc)."""
+    from websearchengine_spark.streaming.ingest import search_live
+
+    root = _live_recrawl_root(spark, sf_dir)
+
+    def fetch(k):
+        rows = [
+            (int(r["url"][3:]), float(r["score"]))
+            for r in search_live(spark, root, " ".join(QUERY_TERMS), k=k)
+            .select("url", F.round("score", 6).alias("score"))
+            .collect()
+        ]
+        return sorted(rows, key=lambda t: (-t[1], t[0]))
+
+    return spark.createDataFrame(
+        _rounded_topk_rows(fetch, 20), "doc_id long, score double"
+    )
+
+
+SQL_LIVE_RECRAWL_BM25_TOP20 = (
+    "WITH latest AS (SELECT doc_id, CASE WHEN doc_id >= "
+    "(SELECT count(*) * 3 // 4 FROM documents) "
+    f"THEN '{_RECRAWL_PREFIX}' || CAST(doc_id AS VARCHAR) "
+    "ELSE text END AS text FROM documents), "
+    + SQL_BM25_TOPK.replace("WITH toks", "toks").replace(
+        "FROM documents", "FROM latest"
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2216,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_path": q_bm25_index_path,
         "bm25_doconly_path": q_bm25_doconly_path,
         "live_bm25_top20": q_live_bm25_top20,
+        "live_recrawl_bm25_top20": q_live_recrawl_bm25_top20,
         "ivf_ann_top10": q_ivf_ann_top10,
         "prf_expansion": q_prf_expansion,
         "session_pmi": q_session_pmi,
@@ -2270,6 +2355,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_path": SQL_BM25_INDEX_PATH,
         "bm25_doconly_path": SQL_BM25_DOCONLY_PATH,
         "live_bm25_top20": SQL_LIVE_BM25_TOP20,
+        "live_recrawl_bm25_top20": SQL_LIVE_RECRAWL_BM25_TOP20,
         "ivf_ann_top10": SQL_IVF_ANN,
         "prf_expansion": SQL_PRF_EXPANSION,
         "session_pmi": SQL_SESSION_PMI,

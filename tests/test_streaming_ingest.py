@@ -122,6 +122,21 @@ def test_search_front_door_serves_live_roots(spark, live):
         search(spark, live["root"], "web search", ranker="comprehensive", k=10)
 
 
+def test_search_live_batch_matches_per_query(spark, live):
+    """Batch mode over a multi-segment live root: per-query results
+    equal search_live's (same union statistics, same merge), phrases
+    included.  Runs before compaction (3 segments live)."""
+    from websearchengine_spark.streaming.ingest import search_live_batch
+
+    queries = ["google", "data mining", "web search", '"data mining"']
+    out = search_live_batch(spark, live["root"], queries, k=10).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query"], []).append((r["doc_id"], r["score"], r["url"]))
+    for q in queries:
+        assert by_q[q] == _ds(search_live(spark, live["root"], q, k=10)), q
+
+
 def test_compact_then_search_identical(spark, live):
     """Compaction changes cost, not results: per-query (doc_id, score,
     url) survive the 3-way merge byte-for-byte; catalog swaps to one

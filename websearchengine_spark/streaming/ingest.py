@@ -415,15 +415,103 @@ def search_live(
         merged = merged.unionByName(p)
     topk = merged.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
+    docs = _docs_union(spark, stores, offsets)
+    return (
+        F.broadcast(topk)
+        .join(docs, "doc_id")
+        .select(*RESULT_COLS)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def _docs_union(spark, stores, offsets):
     docs = None
     for s, off in zip(stores, offsets):
         d = s.read_table(spark, "docs")
         if off:
             d = d.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
         docs = d if docs is None else docs.unionByName(d)
+    return docs
+
+
+def search_live_batch(
+    spark: SparkSession,
+    root: str,
+    queries: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Throughput mode over a live index: MANY queries against every
+    live segment via the batch WAND kernel (one postings scan per
+    segment for the union of all query terms, decode shared across
+    queries), scored with the same union statistics as search_live,
+    then a per-query rank window over the cross-segment union.  Same
+    output schema/order as topk.wand_topk_batch; per-query results
+    equal search_live's (and the compacted index's batch results).
+    Phrase tokens are supported; tombstoned docs are excluded."""
+    from pyspark.sql import Window
+
+    from websearchengine_spark.operators.query import (
+        analyze_tokens,
+        index_analyzer,
+        parse_query,
+    )
+    from websearchengine_spark.operators.topk import wand_topk_batch
+
+    segs = live_segment_roots(root)
+    if not segs:
+        raise ValueError(f"live index at {root} has no segments")
+    stores = [IndexStorage(s) for s in segs]
+    cfgs = [s.read_manifest()["config"] for s in stores]
+    n_shards = int(cfgs[0]["n_shards"])
+    offsets = doc_id_offsets(
+        [int(c.get("id_span", c["num_docs"])) for c in cfgs], n_shards
+    )
+    num_docs = sum(int(c["num_docs"]) for c in cfgs)
+    total_tf = sum(int(c["total_tf"]) for c in cfgs)
+    tombs = read_tombstones(spark, root)
+
+    analyzer = index_analyzer(stores[0])
+    terms = sorted(
+        {
+            w
+            for q in queries
+            for ws in analyze_tokens(parse_query(q), analyzer)
+            for w in ws
+        }
+    )
+    gdf: dict[str, int] = {}
+    if terms:
+        for s in stores:
+            for r in (
+                s.read_table(spark, "term_stats")
+                .filter(F.col("term").isin(terms))
+                .collect()
+            ):
+                gdf[r["term"]] = gdf.get(r["term"], 0) + int(r["df"])
+
+    parts = []
+    for seg, off in zip(segs, offsets):
+        p = wand_topk_batch(
+            spark, seg, queries, k=k,
+            corpus_stats=(num_docs, total_tf), df_override=gdf,
+            docs_join=False,
+            exclude_doc_ids=tombs.get(os.path.basename(seg)),
+        ).select("query", "doc_id", "score")
+        if off:
+            p = p.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
+        parts.append(p)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = merged.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    docs = _docs_union(spark, stores, offsets)
     return (
-        F.broadcast(topk)
-        .join(docs, "doc_id")
-        .select(*RESULT_COLS)
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        topk.join(docs, "doc_id")
+        .select(
+            "query", "doc_id", "url", "title", "score", "pagerank", "numviews", "rank"
+        )
+        .orderBy("query", "rank")
     )

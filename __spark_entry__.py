@@ -38,16 +38,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _widen(df: DataFrame) -> DataFrame:
-    """Parallelism guard for explode-amplifying scans: Spark sizes scan
-    partitions by INPUT bytes, but a shingle/token explode does work
-    proportional to post-explode volume — a small single-file corpus
-    would otherwise serialize the whole explode+hash stage on one core.
-    The exchange moves only the (tiny) pre-explode rows.  No-op when the
-    input already has enough splits (the normal case at scale)."""
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        return df.repartition(cores)
-    return df
+    """Parallelism guard for explode-amplifying scans (the shared
+    operators/util.py helper; see its docstring)."""
+    from websearchengine_spark.operators.util import widen_for_explode
+
+    return widen_for_explode(df)
 
 
 def _tok_expr():

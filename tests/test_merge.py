@@ -137,3 +137,19 @@ def test_merge_mismatched_format_raises(spark, merge_roots, tmp_path):
     fake.write_manifest(m)
     with pytest.raises(ValueError, match="n_shards"):
         merge_indexes(spark, merge_roots["a"], fake.root, str(tmp_path / "out"))
+
+
+def test_segment_id_span_handles_legacy_and_deleted_configs():
+    """Offset computation must clear a segment's OCCUPIED id range:
+    dense builds (span == num_docs), post-delete merges (explicit
+    id_span), and legacy binary merges (gapped space, no id_span — a
+    safe upper bound derives from doc_id_offset)."""
+    from websearchengine_spark.operators.merge import segment_id_span
+
+    assert segment_id_span({"num_docs": 100}) == 100
+    assert segment_id_span({"num_docs": 195, "id_span": 240}) == 240
+    # legacy merge of 5+7 docs at n_shards=4 occupies ids 0-4 and 8-14:
+    # num_docs=12 would collide; the derived bound must clear id 14
+    legacy = {"num_docs": 12, "n_shards": 4, "doc_id_offset": 8}
+    span = segment_id_span(legacy)
+    assert span >= 15 and span % 4 == 0

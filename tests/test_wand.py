@@ -222,3 +222,69 @@ def test_hybrid_head_blocks_exist_and_rank_identity(spark, corpus_pdf, oracle_in
     ]
     want_ph = [d for d, _ in oracle_index.query('"data mining"', "comprehensive", 10)]
     assert got_ph == want_ph
+
+
+def test_bound_scale_revalidates_stale_block_bounds():
+    """Live multi-segment search scores a segment with the UNION avg_dl,
+    but the stored per-block max_impact bounds were encoded with the
+    segment's OWN avg_dl — when avg_dl_union > avg_dl_segment they are
+    no longer upper bounds and the two-phase gate can prune true top-k
+    docs.  bound_scale = avg_q/avg_enc re-validates them (see the
+    shard_bm25_topk docstring for the algebra).  This test constructs
+    the failure: blocks encoded at avg_dl=2, scored at avg_dl=50 —
+    unscaled gating drops EVERY block; scaled gating is exact."""
+    import numpy as np
+
+    from websearchengine_spark.functions.codec import encode_posting_blocks
+    from websearchengine_spark.operators.topk import shard_bm25_topk
+
+    enc_avg, query_avg = 2.0, 50.0
+    d = np.arange(16, dtype=np.int64)
+    tf = np.ones(16, dtype=np.int64)
+    dl = np.full(16, 50, dtype=np.int64)
+    blocks = encode_posting_blocks(d, tf, dl, None, enc_avg, block_size=4)
+    term_lists = {"t": blocks}
+    qw, idf = {"t": 1.0}, {"t": 1.0}
+
+    d_ex, s_ex, _ = shard_bm25_topk(term_lists, qw, idf, query_avg, 4)
+    assert d_ex.size == 4
+    thr = float(s_ex[3]) - 1e-9  # a VALID phase-1 threshold at query_avg
+
+    # the bug: stored bounds (encoded at avg_dl=2) sit far below the
+    # query-time scores, so an unscaled gate skips every block
+    d_bug, _, st_bug = shard_bm25_topk(
+        term_lists, qw, idf, query_avg, 4, threshold=thr, bound_scale=1.0
+    )
+    assert d_bug.size == 0 and st_bug["blocks_decoded"] == 0
+
+    # the fix: scaling by avg_q/avg_enc restores validity -> exact top-k
+    d_fix, s_fix, _ = shard_bm25_topk(
+        term_lists, qw, idf, query_avg, 4,
+        threshold=thr, bound_scale=query_avg / enc_avg,
+    )
+    np.testing.assert_array_equal(d_fix, d_ex)
+    np.testing.assert_allclose(s_fix, s_ex, atol=1e-12)
+
+
+def test_wand_corpus_stats_override_sets_bound_scale(spark, built_index):
+    """End-to-end: wand_topk with a corpus_stats override whose avg_dl
+    exceeds the index's own must return the SAME top-k with two-phase
+    forced on as with it off (the override path computes bound_scale
+    internally)."""
+    from websearchengine_spark.operators.topk import _corpus_stats
+    from websearchengine_spark.sources.storage import IndexStorage
+
+    store = IndexStorage(built_index)
+    nd, tt, _ = _corpus_stats(spark, store)
+    fake = (nd + 1000, tt * 30)  # avg_dl ~6x the index's own
+
+    def run(two_phase):
+        return [
+            (r["doc_id"], round(r["score"], 9))
+            for r in wand_topk(
+                spark, built_index, "web search", k=10,
+                corpus_stats=fake, two_phase=two_phase, docs_join=False,
+            ).collect()
+        ]
+
+    assert run(True) == run(False)

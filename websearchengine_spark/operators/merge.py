@@ -94,6 +94,33 @@ def merge_indexes(
     )
 
 
+def segment_id_span(cfg: dict) -> int:
+    """The id-space EXTENT a built/merged index occupies — the quantity
+    offset computation must clear (num_docs only equals it for dense,
+    never-merged, never-deleted builds).
+
+    * config carries ``id_span`` (post-round-3 merges): authoritative.
+    * legacy merged index (has ``doc_id_offsets`` but no span): its id
+      space is gapped (each input rounded up to a shard multiple), so
+      the true span exceeds num_docs; ``last_offset + roundup(num_docs)``
+      is a safe upper bound (the last input's size <= total num_docs) —
+      over-allocating offsets only widens gaps, never collides.
+    * plain build: dense ids, span == num_docs.
+    """
+    if "id_span" in cfg:
+        return int(cfg["id_span"])
+    num_docs = int(cfg["num_docs"])
+    n_shards = int(cfg.get("n_shards", 1) or 1)
+    offs = cfg.get("doc_id_offsets")
+    if offs is None and "doc_id_offset" in cfg:
+        offs = [0, int(cfg["doc_id_offset"])]
+    if offs:
+        return int(offs[-1]) + (
+            (num_docs + n_shards - 1) // n_shards
+        ) * n_shards
+    return num_docs
+
+
 def doc_id_offsets(num_docs_list: list[int], n_shards: int) -> list[int]:
     """Cumulative shard-preserving doc_id offsets for a sequence of index
     segments: segment i's ids shift by the running sum of each earlier
@@ -163,8 +190,8 @@ def merge_many_indexes(
     # space, so a post-delete segment still occupies [0, id_span) and a
     # smaller num_docs-based offset would collide later segments' ids.
     # Built segments have dense ids (span == num_docs); compacted bases
-    # record their span explicitly.
-    nd_list = [int(c.get("id_span", c["num_docs"])) for c in cfgs]
+    # record their span explicitly; legacy merges derive a safe bound.
+    nd_list = [segment_id_span(c) for c in cfgs]
     total_tf = sum(int(c["total_tf"]) for c in cfgs)
     num_docs = sum(int(c["num_docs"]) for c in cfgs)
     offsets = doc_id_offsets(nd_list, n_shards)

@@ -81,6 +81,7 @@ def shard_bm25_topk(
     k: int,
     threshold: float = -math.inf,
     exclude: np.ndarray | None = None,
+    bound_scale: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Pure kernel for ONE shard: term -> blocks, returns (doc_ids, scores,
     stats).  ``threshold``: scores <= threshold may be dropped (used for
@@ -89,6 +90,16 @@ def shard_bm25_topk(
     (live-index tombstones: docs superseded by a re-crawl but not yet
     physically removed by compaction) — the surviving top-k is exact
     over the non-excluded corpus.
+
+    ``bound_scale``: multiplier that re-validates the STORED per-block
+    ``max_impact`` bounds when scoring uses a different avg_dl than the
+    one they were encoded with (live multi-index search with union
+    statistics).  BM25's per-term impact is (k1+1)tf / (A + B/avg_dl)
+    with A = tf + k1(1-b) > 0, B = k1·b·dl >= 0, so
+    impact(avg_q)/impact(avg_enc) = (A + B/avg_enc)/(A + B/avg_q)
+    <= max(1, avg_q/avg_enc) for every (tf, dl): stored_bound ×
+    max(1, avg_q/avg_enc) is a valid upper bound under the query-time
+    avg_dl.  1.0 = bounds already exact (same avg_dl).
 
     Conjunctive semantics: a doc must contain ALL terms.  Stats record
     blocks decoded vs total (the block-max skip evidence).
@@ -105,14 +116,20 @@ def shard_bm25_topk(
     min_imp = {t: -math.inf for t in terms}
     if threshold > -math.inf:
         gmax = {
-            t: max(b[4] for b in term_lists[t]) if term_lists[t] else 0.0
+            t: (max(b[4] for b in term_lists[t]) * bound_scale)
+            if term_lists[t]
+            else 0.0
             for t in terms
         }
         for t in terms:
             others = sum(qweights[u] * idf[u] * gmax[u] for u in terms if u != t)
             w = qweights[t] * idf[t]
             # qw*idf*max_impact + others <= threshold  <=>  max_impact <= ...
-            min_imp[t] = (threshold - others) / w if w > 0 else -math.inf
+            # (divide the cutoff by bound_scale so the stored b[4] values
+            # compare against it directly: b[4]*scale <= cut <=> b[4] <= cut/scale)
+            min_imp[t] = (
+                (threshold - others) / w / bound_scale if w > 0 else -math.inf
+            )
 
     # rarest term drives the candidate set (block-max skip applies to it
     # too; the range check is a no-op for the driver — every block matches
@@ -322,9 +339,15 @@ def wand_topk(
     )
 
     num_docs, total_tf, avg_dl = _corpus_stats(spark, store)
+    bound_scale = 1.0
     if corpus_stats is not None:
+        # stored per-block max_impact bounds were encoded with THIS
+        # index's avg_dl; scoring with the override's avg_dl needs them
+        # re-validated by max(1, avg_q/avg_enc) (see shard_bm25_topk)
+        enc_avg_dl = avg_dl
         num_docs, total_tf = corpus_stats
         avg_dl = total_tf / max(1, num_docs)
+        bound_scale = max(1.0, avg_dl / max(enc_avg_dl, 1e-12))
     ts = (
         store.read_table(spark, "term_stats")
         .filter(F.col("term").isin(terms))
@@ -393,7 +416,8 @@ def wand_topk(
         if rows0:
             term_lists0 = {r["term"]: _rows_to_blocks(r["blocks"]) for r in rows0}
             d0, s0, _st0 = shard_bm25_topk(
-                term_lists0, qweights, idf, avg_dl, k, exclude=excl
+                term_lists0, qweights, idf, avg_dl, k, exclude=excl,
+                bound_scale=bound_scale,
             )
             phase1_out = [(int(d), float(s)) for d, s in zip(d0, s0)]
             if d0.size >= k:
@@ -406,7 +430,8 @@ def wand_topk(
             t: _rows_to_blocks(b) for t, b in zip(pdf["term"], pdf["blocks"])
         }
         d, s, stats = shard_bm25_topk(
-            term_lists, qweights, idf, avg_dl, k, threshold=thr, exclude=excl
+            term_lists, qweights, idf, avg_dl, k, threshold=thr, exclude=excl,
+            bound_scale=bound_scale,
         )
         for key in ("pruned_by_ub", "blocks_decoded", "blocks_total", "candidates"):
             acc[key].add(stats[key])
@@ -576,12 +601,19 @@ def wand_topk_batch(
             "this index was built positionless (positions=False, doconly-"
             "style); phrase queries in the batch need a positional build"
         )
+    def empty_batch():
+        if docs_join:
+            return spark.createDataFrame(
+                [], "query string, doc_id long, url string, title string, "
+                "score double, pagerank double, numviews long, rank int"
+            )
+        return spark.createDataFrame(
+            [], "query string, doc_id long, score double, rank int"
+        )
+
     all_terms = sorted({t for _, qw, _ in specs for t in qw})
     if not all_terms:
-        return spark.createDataFrame(
-            [], "query string, doc_id long, url string, title string, "
-            "score double, pagerank double, numviews long, rank int"
-        )
+        return empty_batch()
 
     num_docs, total_tf, avg_dl = _corpus_stats(spark, store)
     if corpus_stats is not None:
@@ -599,10 +631,7 @@ def wand_topk_batch(
         (qid, qw, ph) for qid, qw, ph in specs if all(t in df_by_term for t in qw)
     ]
     if not specs:
-        return spark.createDataFrame(
-            [], "query string, doc_id long, url string, title string, "
-            "score double, pagerank double, numviews long, rank int"
-        )
+        return empty_batch()
 
     postings = store.read_partitioned(spark, "postings").filter(
         F.col("term").isin(all_terms)

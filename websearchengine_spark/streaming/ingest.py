@@ -66,7 +66,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from websearchengine_spark.operators.merge import doc_id_offsets, merge_many_indexes
+from websearchengine_spark.operators.merge import (
+    doc_id_offsets,
+    merge_many_indexes,
+    segment_id_span,
+)
 from websearchengine_spark.sources.storage import IndexStorage
 
 CATALOG_NAME = "_live.json"
@@ -164,14 +168,22 @@ def apply_pages_batch(
         return None
     if cat["config"]:
         for key, val in build_kwargs.items():
-            if key in cat["config"] and cat["config"][key] != val:
+            if key not in cat["config"]:
+                # a kwarg the first batch didn't pin would be silently
+                # dropped below — refuse instead: per-segment format
+                # divergence breaks merge/search
+                raise ValueError(
+                    f"build kwarg {key}={val!r} was not set by the live "
+                    f"index's first batch; all segments at {root} share "
+                    "the pinned config (pass it on the first batch)"
+                )
+            if cat["config"][key] != val:
                 raise ValueError(
                     f"live index at {root} was created with {key}="
                     f"{cat['config'][key]!r}; got {val!r}"
                 )
         build_kwargs = cat["config"]
-    n_rows = pages.count()
-    if n_rows == 0:
+    if pages.isEmpty():
         cat["applied_batches"].append(batch_id)
         cat["lineage"].append(
             {"event": "empty_batch", "batch_id": batch_id, "ts": time.time()}
@@ -370,9 +382,7 @@ def search_live(
     stores = [IndexStorage(s) for s in segs]
     cfgs = [s.read_manifest()["config"] for s in stores]
     n_shards = int(cfgs[0]["n_shards"])
-    offsets = doc_id_offsets(
-        [int(c.get("id_span", c["num_docs"])) for c in cfgs], n_shards
-    )
+    offsets = doc_id_offsets([segment_id_span(c) for c in cfgs], n_shards)
     num_docs = sum(int(c["num_docs"]) for c in cfgs)
     total_tf = sum(int(c["total_tf"]) for c in cfgs)
     # tombstoned (superseded-by-re-crawl) docs are masked out of every
@@ -463,9 +473,7 @@ def search_live_batch(
     stores = [IndexStorage(s) for s in segs]
     cfgs = [s.read_manifest()["config"] for s in stores]
     n_shards = int(cfgs[0]["n_shards"])
-    offsets = doc_id_offsets(
-        [int(c.get("id_span", c["num_docs"])) for c in cfgs], n_shards
-    )
+    offsets = doc_id_offsets([segment_id_span(c) for c in cfgs], n_shards)
     num_docs = sum(int(c["num_docs"]) for c in cfgs)
     total_tf = sum(int(c["total_tf"]) for c in cfgs)
     tombs = read_tombstones(spark, root)

@@ -289,6 +289,37 @@ def test_recrawl_upsert_supersedes_and_compacts(spark, corpus_pdf, tmp_path):
     assert all(r["doc_id"] >= 240 for r in probe)
 
 
+def test_delete_urls_tombstones_then_compacts_away(spark, corpus_pdf, tmp_path):
+    """Explicit deletion (takedown path): tombstoned urls vanish from
+    search immediately, idempotent by op_id, physically dropped with
+    num_docs corrected at compaction."""
+    from websearchengine_spark.streaming.ingest import delete_urls
+
+    by_url = corpus_pdf.sort_values("url").reset_index(drop=True)
+    root = str(tmp_path / "live")
+    for i, part in enumerate(_parts(spark, corpus_pdf)):
+        apply_pages_batch(spark, part, i, root, n_shards=N_SHARDS, n_groups=2)
+
+    full = search_live(spark, root, "google", k=200).collect()
+    victims = [r["url"] for r in full[:5]]
+    n = delete_urls(spark, root, victims, op_id=1)
+    assert n == 5
+    assert delete_urls(spark, root, victims, op_id=1) == 0  # idempotent
+    cat = read_live_catalog(root)
+    assert cat["lineage"][-1] == {
+        **cat["lineage"][-1], "event": "urls_deleted", "tombstoned": 5,
+    }
+    after = search_live(spark, root, "google", k=200).collect()
+    assert {r["url"] for r in after} == {r["url"] for r in full} - set(victims)
+
+    compact_live(spark, root)
+    cat = read_live_catalog(root)
+    assert cat["segments"][0]["num_docs"] == 195
+    assert {
+        r["url"] for r in search_live(spark, root, "google", k=200).collect()
+    } == {r["url"] for r in full} - set(victims)
+
+
 def test_foreachbatch_stream_ingest(spark, corpus_pdf, tmp_path):
     """The real Structured Streaming path: a file-source backlog drained
     availableNow with maxFilesPerTrigger=1 becomes one delta segment per

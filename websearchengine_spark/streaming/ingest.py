@@ -118,11 +118,11 @@ def read_tombstones(spark: SparkSession, root: str) -> dict[str, "object"]:
 
     p = os.path.join(root, TOMBSTONES_DIR)
     if not os.path.isdir(p) or not any(
-        e.startswith("batch-") for e in os.listdir(p)
+        e.startswith(("batch-", "op-")) for e in os.listdir(p)
     ):
         return {}
     rows = (
-        spark.read.parquet(os.path.join(p, "batch-*"))
+        spark.read.parquet(os.path.join(p, "{batch,op}-*"))
         .distinct()
         .collect()
     )
@@ -246,6 +246,54 @@ def apply_pages_batch(
     )
     _write_live_catalog(root, cat)
     return seg_root
+
+
+def delete_urls(
+    spark: SparkSession,
+    root: str,
+    urls: list[str],
+    op_id: int,
+) -> int:
+    """Explicitly delete urls from a live index (the takedown/expiry
+    path — same machinery as re-crawl supersession, minus the new
+    version): every segment's matching doc_ids are tombstoned, excluded
+    from search immediately, and physically dropped with statistics
+    corrected at the next compaction.  Idempotent by ``op_id`` (replays
+    return 0).  Returns the number of docs tombstoned."""
+    cat = read_live_catalog(root)
+    if op_id in cat.get("applied_ops", []):
+        return 0
+    if not cat["segments"]:
+        raise ValueError(f"live index at {root} has no segments")
+    url_df = F.broadcast(
+        spark.createDataFrame([(u,) for u in urls], "url string")
+    )
+    hits = None
+    for seg in cat["segments"]:
+        seg_docs = IndexStorage(os.path.join(root, seg["dir"])).read_table(
+            spark, "docs"
+        )
+        h = seg_docs.join(url_df, "url", "semi").select(
+            F.lit(seg["dir"]).alias("seg"), "doc_id"
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    tomb_path = os.path.join(root, TOMBSTONES_DIR, f"op-{op_id:09d}")
+    hits.write.mode("overwrite").parquet(tomb_path)
+    n = spark.read.parquet(tomb_path).count()
+
+    cat = read_live_catalog(root)
+    cat.setdefault("applied_ops", []).append(op_id)
+    cat["lineage"].append(
+        {
+            "event": "urls_deleted",
+            "op_id": op_id,
+            "n_urls": len(urls),
+            "tombstoned": int(n),
+            "ts": time.time(),
+        }
+    )
+    _write_live_catalog(root, cat)
+    return int(n)
 
 
 def start_index_ingest(

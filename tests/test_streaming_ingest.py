@@ -289,6 +289,48 @@ def test_recrawl_upsert_supersedes_and_compacts(spark, corpus_pdf, tmp_path):
     assert all(r["doc_id"] >= 240 for r in probe)
 
 
+def test_stream_ingest_auto_compacts(spark, corpus_pdf, tmp_path):
+    """compact_every=2: the sink folds segments inline whenever the live
+    count reaches 2, so a 3-file backlog ends as one base + one delta
+    (generation >= 1) and search still matches the full batch build on
+    scores."""
+    watch = str(tmp_path / "incoming")
+    for part in _parts(spark, corpus_pdf):
+        part.coalesce(1).write.mode("append").parquet(watch)
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    root = str(tmp_path / "live")
+    q = start_index_ingest(
+        spark, stream, root, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True}, compact_every=2,
+        n_shards=N_SHARDS, n_groups=2,
+    )
+    q.awaitTermination(180)
+    cat = read_live_catalog(root)
+    assert cat["generation"] >= 1
+    assert len(cat["segments"]) <= 2
+    assert cat["segments"][0]["dir"].startswith("base-")
+    assert sum(s["num_docs"] for s in cat["segments"]) == 200
+
+    full = str(tmp_path / "full")
+    build_index(
+        spark, spark.createDataFrame(corpus_pdf), full,
+        n_shards=N_SHARDS, n_groups=2,
+    )
+    got = [
+        round(r["score"], 9)
+        for r in search_live(spark, root, "data mining", k=10).collect()
+    ]
+    want = [
+        round(r["score"], 9)
+        for r in wand_topk(spark, full, "data mining", k=10).collect()
+    ]
+    assert got == want
+
+
 def test_delete_urls_tombstones_then_compacts_away(spark, corpus_pdf, tmp_path):
     """Explicit deletion (takedown path): tombstoned urls vanish from
     search immediately, idempotent by op_id, physically dropped with

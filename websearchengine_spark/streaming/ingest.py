@@ -302,6 +302,7 @@ def start_index_ingest(
     root: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    compact_every: int | None = None,
     **build_kwargs,
 ):
     """Attach the delta-build sink to a streaming pages DataFrame.
@@ -311,12 +312,24 @@ def start_index_ingest(
     becomes one delta segment via apply_pages_batch (idempotent, so the
     checkpoint's at-least-once redelivery is safe).  Returns the
     StreamingQuery; pass e.g. ``trigger={"availableNow": True}`` to
-    drain a backlog and stop."""
-    writer = pages_stream.writeStream.foreachBatch(
-        lambda batch_df, batch_id: apply_pages_batch(
-            spark, batch_df, batch_id, root, **build_kwargs
-        )
-    ).option("checkpointLocation", checkpoint_dir)
+    drain a backlog and stop.
+
+    ``compact_every=L`` is the LSM policy knob: whenever the live
+    segment count reaches L after a batch lands, the sink folds them
+    into a new base generation inline (one compressed-postings shuffle,
+    results provably unchanged) — search cost stays O(L) small jobs
+    instead of growing with the stream.  Compaction inside foreachBatch
+    is crash-safe like everything else here: the catalog swap is the
+    atomic publish, and a torn merge resumes group-by-group."""
+
+    def sink(batch_df, batch_id):
+        apply_pages_batch(spark, batch_df, batch_id, root, **build_kwargs)
+        if compact_every and len(read_live_catalog(root)["segments"]) >= compact_every:
+            compact_live(spark, root)
+
+    writer = pages_stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()

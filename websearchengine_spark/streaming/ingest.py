@@ -347,7 +347,15 @@ def compact_live(
     catalog.  Returns the new base dir, or None when fewer than
     ``min_segments`` segments are live.  ``gc=True`` removes the
     superseded segment dirs AFTER the swap; the catalog lineage keeps
-    their ids and snapshot ids (the commit log survives the files)."""
+    their ids and snapshot ids (the commit log survives the files).
+
+    Writers are expected to be SINGLE-THREADED (the streaming sink, or
+    one driver at a time) — the inline ``compact_every`` path always
+    is.  As a safety net, a plain append that lands while the merge
+    runs survives the catalog swap (its offset is unchanged: the new
+    base's id_span equals the sum of the merged segments' spans).  An
+    UPSERT batch racing a compaction is NOT supported: its tombstones
+    reference segments the merge consumed without them."""
     cat = read_live_catalog(root)
     segs = list(cat["segments"])
     if len(segs) < min_segments:
@@ -368,6 +376,11 @@ def compact_live(
     num_docs = int(out_cfg["num_docs"])
 
     cat = read_live_catalog(root)
+    merged_dirs = {s["dir"] for s in segs}
+    # a segment appended while the merge ran (writers should be
+    # single-threaded, but the sink + a driver-side compact can race)
+    # survives the swap instead of being orphaned
+    appended = [s for s in cat["segments"] if s["dir"] not in merged_dirs]
     cat["generation"] = gen
     cat["segments"] = [
         {
@@ -378,7 +391,7 @@ def compact_live(
             # span, so later segment offsets must clear it, not num_docs
             "id_span": int(out_cfg["id_span"]),
         }
-    ]
+    ] + appended
     cat["lineage"].append(
         {
             "event": "compacted",

@@ -265,6 +265,7 @@ def wand_topk(
     df_override: dict[str, int] | None = None,
     docs_join: bool = True,
     exclude_doc_ids=None,
+    local_df: dict[str, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k over the sharded index via the block-max kernel.
 
@@ -294,6 +295,10 @@ def wand_topk(
     iterable) masks tombstoned docs out of every candidate set before
     scoring — live-index deletes are invisible at query time and
     physically removed at compaction (Lucene-style visibility).
+    ``local_df`` pre-supplies THIS index's {term: df} for the query's
+    terms (what the term_stats lookup would return), letting a
+    multi-index caller that already read every segment's term_stats in
+    one job skip the per-segment driver round-trip.
 
     Returns the same columns as query.run_query, ordered by
     (score desc, doc_id asc)."""
@@ -318,6 +323,7 @@ def wand_topk(
             spark, index_root, [query], k=k,
             corpus_stats=corpus_stats, df_override=df_override,
             docs_join=docs_join, exclude_doc_ids=exclude_doc_ids,
+            local_df=local_df,
         )
         if not docs_join:
             return out.select("doc_id", "score").orderBy(
@@ -348,12 +354,15 @@ def wand_topk(
         num_docs, total_tf = corpus_stats
         avg_dl = total_tf / max(1, num_docs)
         bound_scale = max(1.0, avg_dl / max(enc_avg_dl, 1e-12))
-    ts = (
-        store.read_table(spark, "term_stats")
-        .filter(F.col("term").isin(terms))
-        .collect()
-    )
-    df_by_term = {r["term"]: r["df"] for r in ts}
+    if local_df is not None:
+        df_by_term = {t: local_df[t] for t in terms if t in local_df}
+    else:
+        ts = (
+            store.read_table(spark, "term_stats")
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        df_by_term = {r["term"]: r["df"] for r in ts}
     if len(df_by_term) < len(terms):
         return empty()
     idf_df = df_override if df_override is not None else df_by_term
@@ -564,6 +573,7 @@ def wand_topk_batch(
     df_override: dict[str, int] | None = None,
     docs_join: bool = True,
     exclude_doc_ids=None,
+    local_df: dict[str, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k for MANY queries in one job: postings for the union of
     all query terms are scanned once; each shard task scores every query
@@ -619,8 +629,11 @@ def wand_topk_batch(
     if corpus_stats is not None:
         num_docs, total_tf = corpus_stats
         avg_dl = total_tf / max(1, num_docs)
-    ts = store.read_table(spark, "term_stats").filter(F.col("term").isin(all_terms)).collect()
-    df_by_term = {r["term"]: r["df"] for r in ts}
+    if local_df is not None:
+        df_by_term = {t: local_df[t] for t in all_terms if t in local_df}
+    else:
+        ts = store.read_table(spark, "term_stats").filter(F.col("term").isin(all_terms)).collect()
+        df_by_term = {r["term"]: r["df"] for r in ts}
     idf_df = df_override if df_override is not None else df_by_term
     idf = {
         t: math.log((num_docs - idf_df[t] + 0.5) / (idf_df[t] + 0.5) + 1.0)

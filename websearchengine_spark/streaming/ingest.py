@@ -427,6 +427,28 @@ def live_stats(spark: SparkSession, root: str) -> tuple[int, int, int]:
     return num_docs, total_tf, n_shards
 
 
+def _segment_term_dfs(
+    spark: SparkSession, stores: list, terms: list
+) -> list[dict[str, int]]:
+    """Per-segment {term: df} for the query's terms in ONE Spark action
+    (a union over the tiny term_stats tables) — K driver round-trips
+    per query would otherwise dominate multi-segment query latency."""
+    if not terms:
+        return [{} for _ in stores]
+    u = None
+    for i, s in enumerate(stores):
+        d = (
+            s.read_table(spark, "term_stats")
+            .filter(F.col("term").isin(list(terms)))
+            .select(F.lit(i).alias("seg_ix"), "term", "df")
+        )
+        u = d if u is None else u.unionByName(d)
+    out: list[dict[str, int]] = [{} for _ in stores]
+    for r in u.collect():
+        out[r["seg_ix"]][r["term"]] = int(r["df"])
+    return out
+
+
 def search_live(
     spark: SparkSession,
     root: str,
@@ -473,23 +495,20 @@ def search_live(
 
     token_words = analyze_tokens(parse_query(query), index_analyzer(stores[0]))
     terms = sorted({w for ws in token_words for w in ws})
+    seg_dfs = _segment_term_dfs(spark, stores, terms)
     gdf: dict[str, int] = {}
-    if terms:
-        for s in stores:
-            for r in (
-                s.read_table(spark, "term_stats")
-                .filter(F.col("term").isin(terms))
-                .collect()
-            ):
-                gdf[r["term"]] = gdf.get(r["term"], 0) + int(r["df"])
+    for d in seg_dfs:
+        for t, df in d.items():
+            gdf[t] = gdf.get(t, 0) + df
 
     parts = []
-    for seg, off in zip(segs, offsets):
+    for i, (seg, off) in enumerate(zip(segs, offsets)):
         p = wand_topk(
             spark, seg, query, k=k,
             corpus_stats=(num_docs, total_tf), df_override=gdf,
             docs_join=False,
             exclude_doc_ids=tombs.get(os.path.basename(seg)),
+            local_df=seg_dfs[i],
         )
         if off:
             p = p.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
@@ -561,23 +580,20 @@ def search_live_batch(
             for w in ws
         }
     )
+    seg_dfs = _segment_term_dfs(spark, stores, terms)
     gdf: dict[str, int] = {}
-    if terms:
-        for s in stores:
-            for r in (
-                s.read_table(spark, "term_stats")
-                .filter(F.col("term").isin(terms))
-                .collect()
-            ):
-                gdf[r["term"]] = gdf.get(r["term"], 0) + int(r["df"])
+    for d in seg_dfs:
+        for t, df in d.items():
+            gdf[t] = gdf.get(t, 0) + df
 
     parts = []
-    for seg, off in zip(segs, offsets):
+    for i, (seg, off) in enumerate(zip(segs, offsets)):
         p = wand_topk_batch(
             spark, seg, queries, k=k,
             corpus_stats=(num_docs, total_tf), df_override=gdf,
             docs_join=False,
             exclude_doc_ids=tombs.get(os.path.basename(seg)),
+            local_df=seg_dfs[i],
         ).select("query", "doc_id", "score")
         if off:
             p = p.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))

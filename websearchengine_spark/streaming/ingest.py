@@ -54,6 +54,15 @@ Scale: each delta build shuffles only its own batch's occurrences;
 compaction moves compressed blocks, not tokens; search adds one small
 job per segment (bounded by compaction policy).  Nothing on this path
 collects more than top-k rows and per-term stats to the driver.
+
+Id-space growth: ids are never remapped, so id_span grows with
+CUMULATIVE ingested docs (deletes leave gaps).  This is deliberate —
+stable ids across compactions, and a density-restoring remap would
+change every doc's shard (new_id % n_shards) and force a re-sharding
+shuffle of the whole index.  The costs of gaps are negligible:
+delta-gap varbyte spends ~1 extra byte only where a gap crosses a
+128^k boundary, and the packed-build ceiling (doc_id < 2^41,
+operators/build.py PACK_BITS) leaves room for ~2e12 cumulative docs.
 """
 
 from __future__ import annotations

@@ -331,6 +331,49 @@ def test_stream_ingest_auto_compacts(spark, corpus_pdf, tmp_path):
     assert got == want
 
 
+def test_stream_upsert_through_auto_compaction(spark, corpus_pdf, tmp_path):
+    """The full production shape: a re-crawl batch flows through the
+    auto-compacting sink — tombstones land, the inline compaction
+    consumes them, and the final index serves ONLY the latest
+    versions with corrected statistics."""
+    by_url = corpus_pdf.sort_values("url").reset_index(drop=True)
+    recrawl = by_url.iloc[20:60].copy()
+    recrawl["text"] = [
+        f"streamed recrawl body number {i}" for i in range(len(recrawl))
+    ]
+    recrawl["html"] = [
+        f"<html><body>{t}</body></html>".encode() for t in recrawl["text"]
+    ]
+    watch = str(tmp_path / "incoming")
+    spark.createDataFrame(by_url).coalesce(1).write.mode("append").parquet(watch)
+    import time
+
+    time.sleep(1.1)  # file-source ordering is by mod time at 1s granularity
+    spark.createDataFrame(recrawl).coalesce(1).write.mode("append").parquet(watch)
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    root = str(tmp_path / "live")
+    q = start_index_ingest(
+        spark, stream, root, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True}, compact_every=2,
+        n_shards=N_SHARDS, n_groups=2,
+    )
+    q.awaitTermination(180)
+    cat = read_live_catalog(root)
+    assert cat["generation"] >= 1
+    assert sum(s["num_docs"] for s in cat["segments"]) == 200
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    hits = search_live(spark, root, "streamed recrawl", k=50).collect()
+    assert {r["url"] for r in hits} == set(recrawl["url"])
+    # the superseded versions are gone for good: no url appears twice
+    broad = search_live(spark, root, "the", k=250).collect()
+    urls = [r["url"] for r in broad]
+    assert len(urls) == len(set(urls))
+
+
 def test_delete_urls_tombstones_then_compacts_away(spark, corpus_pdf, tmp_path):
     """Explicit deletion (takedown path): tombstoned urls vanish from
     search immediately, idempotent by op_id, physically dropped with

@@ -122,6 +122,18 @@ def test_search_front_door_serves_live_roots(spark, live):
         search(spark, live["root"], "web search", ranker="comprehensive", k=10)
 
 
+def test_search_live_edge_inputs(spark, live):
+    """Front-door robustness on live roots: empty query -> empty frame
+    with the result schema; unknown term -> empty; k beyond the corpus
+    -> every match, no error."""
+    assert search_live(spark, live["root"], "", k=5).count() == 0
+    assert search_live(spark, live["root"], "zzznosuchterm", k=5).count() == 0
+    big = search_live(spark, live["root"], "google", k=100000).collect()
+    assert 0 < len(big) <= 200
+    scores = [r["score"] for r in big]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_search_live_batch_matches_per_query(spark, live):
     """Batch mode over a multi-segment live root: per-query results
     equal search_live's (same union statistics, same merge), phrases

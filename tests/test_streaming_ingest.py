@@ -122,6 +122,36 @@ def test_search_front_door_serves_live_roots(spark, live):
         search(spark, live["root"], "web search", ranker="comprehensive", k=10)
 
 
+def test_apply_batch_signals_are_per_batch_data_not_pinned(spark, corpus_pdf, tmp_path):
+    """signals= (a DataFrame — per-batch data, not index format) must
+    flow into each delta build without ending up in the JSON catalog
+    config; docs rows carry the joined pagerank."""
+    by_url = corpus_pdf.sort_values("url").reset_index(drop=True)
+    root = str(tmp_path / "live")
+    sig = spark.createDataFrame(
+        [(u, 0.5, 7) for u in by_url["url"][:40]],
+        "url string, pagerank double, numviews long",
+    )
+    apply_pages_batch(
+        spark, spark.createDataFrame(by_url.iloc[:80]), 0, root,
+        n_shards=N_SHARDS, n_groups=2, signals=sig,
+    )
+    apply_pages_batch(
+        spark, spark.createDataFrame(by_url.iloc[80:160]), 1, root, signals=sig
+    )
+    cat = read_live_catalog(root)
+    assert "signals" not in cat["config"]  # JSON-serializable catalog
+    from websearchengine_spark.sources.storage import IndexStorage
+
+    seg0 = IndexStorage(os.path.join(root, cat["segments"][0]["dir"]))
+    pr = {
+        r["url"]: r["pagerank"]
+        for r in seg0.read_table(spark, "docs").collect()
+    }
+    assert pr[by_url["url"][0]] == 0.5
+    assert search_live(spark, root, "google", k=5).count() == 5
+
+
 def test_search_live_edge_inputs(spark, live):
     """Front-door robustness on live roots: empty query -> empty frame
     with the result schema; unknown term -> empty; k beyond the corpus

@@ -85,6 +85,11 @@ from websearchengine_spark.sources.storage import IndexStorage
 CATALOG_NAME = "_live.json"
 TOMBSTONES_DIR = "tombstones"
 
+# build kwargs that are PER-BATCH DATA, not index format: they are never
+# pinned in the (JSON) catalog config and pass through on every batch
+# (a DataFrame would not survive json.dump anyway)
+UNPINNED_BUILD_KWARGS = frozenset(["signals", "resume"])
+
 
 def _catalog_path(root: str) -> str:
     return os.path.join(root, CATALOG_NAME)
@@ -175,8 +180,14 @@ def apply_pages_batch(
     cat = read_live_catalog(root)
     if batch_id in cat["applied_batches"]:
         return None
+    data_kwargs = {
+        k: v for k, v in build_kwargs.items() if k in UNPINNED_BUILD_KWARGS
+    }
+    fmt_kwargs = {
+        k: v for k, v in build_kwargs.items() if k not in UNPINNED_BUILD_KWARGS
+    }
     if cat["config"]:
-        for key, val in build_kwargs.items():
+        for key, val in fmt_kwargs.items():
             if key not in cat["config"]:
                 # a kwarg the first batch didn't pin would be silently
                 # dropped below — refuse instead: per-segment format
@@ -191,7 +202,8 @@ def apply_pages_batch(
                     f"live index at {root} was created with {key}="
                     f"{cat['config'][key]!r}; got {val!r}"
                 )
-        build_kwargs = cat["config"]
+        fmt_kwargs = cat["config"]
+    build_kwargs = {**fmt_kwargs, **data_kwargs}
     if pages.isEmpty():
         cat["applied_batches"].append(batch_id)
         cat["lineage"].append(
@@ -229,7 +241,7 @@ def apply_pages_batch(
         hits.write.mode("overwrite").parquet(tomb_path)
         n_tombstoned = spark.read.parquet(tomb_path).count()
     if not cat["config"]:
-        cat["config"] = dict(build_kwargs)
+        cat["config"] = dict(fmt_kwargs)
         # pin the format invariants even when left at build_index defaults
         for key in ("n_shards", "n_groups", "analyzer", "positions"):
             cat["config"].setdefault(key, cfg[key])

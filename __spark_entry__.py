@@ -529,29 +529,17 @@ SQL_MINHASH = (
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash-16: sign bits of tf-weighted pseudo-random term vectors."""
-    tf = _toks(spark, sf_dir).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    bits = tf.select(
-        "doc_id",
-        "term",
-        "tf",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
-    ).withColumn(
-        "contrib",
-        F.col("tf")
-        * F.when(
-            F.substring(F.md5(F.encode("term", "UTF-8")), F.col("b") + 1, 1).isin(
-                "1", "3", "5", "7", "9", "b", "d", "f"
-            ),
-            1,
-        ).otherwise(-1),
-    )
+    """SimHash-16: sign bits of tf-weighted pseudo-random term vectors.
+
+    Calls the package operator (operators/dedup.py::simhash), whose
+    per-bit sums are conditional aggregates of one groupBy — no per-bit
+    explode (round-4 de-amplification); same tokenizer as the SQL
+    oracle."""
+    from websearchengine_spark.operators.dedup import simhash
+
     return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b"))).otherwise(0.0))
-        .groupBy("doc_id")
-        .agg(F.sum("bit").cast("long").alias("simhash16"))
+        simhash(_docs(spark, sf_dir), bits=16)
+        .select("doc_id", F.col("simhash").alias("simhash16"))
         .orderBy("doc_id")
     )
 
@@ -915,28 +903,16 @@ ORDER BY cosine_e6 DESC, vec_id LIMIT 10"""
 
 
 def q_lsh_buckets(spark, sf_dir):
-    """LSH bucketing: 8 deterministic hyperplanes -> bucket histogram."""
+    """LSH bucketing: 8 deterministic hyperplanes -> bucket histogram.
+
+    Calls the package operator (operators/similarity.py::lsh_bucket),
+    which computes every plane's dot product in ONE explode-free
+    projection over the array column (round-4 de-amplification); the
+    oracle SQL mirrors the same (i, p) weight hash."""
+    from websearchengine_spark.operators.similarity import lsh_bucket
+
     emb = _emb(spark, sf_dir)
-    rows = emb.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p"),
-        "embedding",
-    )
-    planes = rows.select(
-        "vec_id",
-        "p",
-        F.explode(F.sequence(F.lit(1), F.size("embedding"))).alias("i"),
-        F.element_at(F.col("embedding").cast("array<double>"), F.col("i")).alias("v"),
-    ).withColumn(
-        "w",
-        ((F.col("i") * (F.col("p") + 3) * 2654435761) % 1000) / 1000.0 - 0.5,
-    )
-    dots = planes.groupBy("vec_id", "p").agg(F.sum(F.col("v") * F.col("w")).alias("d"))
-    buckets = (
-        dots.withColumn("bit", F.when(F.col("d") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(0.0))
-        .groupBy("vec_id")
-        .agg(F.sum("bit").cast("long").alias("bucket"))
-    )
+    buckets = lsh_bucket(emb, n_planes=8)
     return buckets.groupBy("bucket").agg(F.count("*").alias("n_vecs")).orderBy("bucket")
 
 

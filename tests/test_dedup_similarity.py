@@ -420,3 +420,49 @@ def test_hot_bucket_cap_default_on_and_drop_counted(spark):
     dedup.LAST_BUCKET_DROP_OBS.clear()
     dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=None).collect()
     assert "minhash_lsh" not in dedup.LAST_BUCKET_DROP_OBS
+
+
+def test_ivf_kmeans_recall_on_clustered_corpus(spark, tmp_path):
+    """Round-4: the k-means|| coarse quantizer (same ivf_write_index API;
+    the residue-class quantizer stays as the deterministic oracle mode)
+    reaches recall@10 >= 0.9 vs brute force at nprobe/nlist = 2/8 on a
+    clustered corpus, and is deterministic for fixed inputs/seed."""
+    import numpy as np
+
+    from websearchengine_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_indexed,
+        ivf_train_centroids_kmeans,
+        ivf_write_index,
+    )
+
+    rng = np.random.default_rng(7)
+    nlist, dim = 8, 16
+    protos = rng.normal(size=(nlist, dim))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    vecs = []
+    for i in range(400):
+        v = protos[i % nlist] + rng.normal(size=dim) * 0.12
+        v /= np.linalg.norm(v)
+        vecs.append((i, v.tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    cents = ivf_train_centroids_kmeans(emb, nlist=nlist, seed=13)
+    assert len(cents) == nlist
+    assert cents == ivf_train_centroids_kmeans(emb, nlist=nlist, seed=13)
+
+    path = str(tmp_path / "ivf_km")
+    ivf_write_index(emb, cents, path)
+    hits = total = 0
+    for q in range(0, 40, 4):
+        qv = vecs[q][1]
+        want = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivf_topk_indexed(
+                spark, path, cents, qv, k=10, nprobe=2
+            ).collect()
+        }
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.9, hits / total

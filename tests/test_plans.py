@@ -81,3 +81,37 @@ def test_kway_merge_plan_single_compressed_shuffle(spark, corpus_pdf, tmp_path):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     # the scan reads the compressed postings tables, not pages/tokens
     assert "postings" in p
+
+
+def test_lsh_bucket_plan_is_explode_free_and_shuffle_free(spark):
+    """Round-4 de-amplification pin: sign-LSH computes every plane's dot
+    product inside ONE projection over the array column — no per-(plane,
+    dimension) Generate (the old shape emitted n_planes x n_dim rows per
+    vector) and no Exchange at all (it used to need two aggregations to
+    fold the exploded rows back)."""
+    from websearchengine_spark.operators.similarity import lsh_bucket
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, -0.5, 2.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    p = plan_of(lsh_bucket(emb), "formatted")
+    assert "Generate" not in p, p
+    assert "Exchange" not in p, p
+
+
+def test_simhash_plan_has_single_generate_two_exchanges(spark):
+    """Round-4 de-amplification pin: simhash's only Generate is the
+    tokenizer explode (the old per-bit sequence explode multiplied
+    distinct-(doc, term) rows by ``bits``), and the per-bit sums ride
+    the per-doc groupBy — two Exchanges total (tf, per-doc), not three."""
+    import re
+
+    from websearchengine_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b c d")], "doc_id long, text string"
+    )
+    p = plan_of(simhash(docs), "formatted")
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p

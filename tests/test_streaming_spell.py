@@ -322,3 +322,78 @@ def test_stateful_sessionize_non_utc_tz(spark, tmp_path):
         assert got[0]["session_end"] == want["hi"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_spell_assist_persisted_path(spark, spell_index, corpus_pdf):
+    """Round-4: the persisted bigram->terms assist table (reference
+    utils/AssistantIndexBuilder.java:117-161) gives identical candidates
+    and corrections, and the per-query plan scans spell_bigrams with the
+    bigram predicate pushed to parquet — NOT the vocabulary."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators.build import build_index
+    from websearchengine_spark.operators.spell import (
+        SPELL_ASSIST_TABLE,
+        build_spell_assist,
+        correct_query,
+        token_candidates,
+    )
+    from websearchengine_spark.plans.audit import plan_of
+    from websearchengine_spark.sources.storage import IndexStorage
+
+    store = IndexStorage(spell_index)
+    assert not store.exists(SPELL_ASSIST_TABLE)
+    probes = ("gooble", "data", "searhc", "w")
+    derived = {
+        t: token_candidates(spark, store, t, freq_threshold=10) for t in probes
+    }
+    before = [
+        tuple(r)
+        for r in correct_query(
+            spark, spell_index, "gooble", freq_threshold=10, min_hits=1
+        ).collect()
+    ]
+
+    build_spell_assist(spark, store)
+    assert store.exists(SPELL_ASSIST_TABLE)
+    for t, want in derived.items():
+        assert token_candidates(spark, store, t, freq_threshold=10) == want
+    after = [
+        tuple(r)
+        for r in correct_query(
+            spark, spell_index, "gooble", freq_threshold=10, min_hits=1
+        ).collect()
+    ]
+    assert after == before
+
+    # the candidate-pool scan: assist table, bigram filter pushed down
+    vb = (
+        store.read_table(spark, SPELL_ASSIST_TABLE)
+        .filter(F.col("bigram").isin(["go", "oo"]))
+        .filter(F.abs(F.col("len") - 6) < 3)
+        .filter(F.col("alpha"))
+        .select("term", "freq", "bigram")
+    )
+    p = plan_of(vb, "formatted")
+    assert "spell_bigrams" in p, p
+    assert "term_stats" not in p, p
+    assert "PushedFilters" in p and "bigram" in p.split("PushedFilters", 1)[1], p
+
+
+def test_build_index_spell_assist_flag(spark, corpus_pdf, tmp_path):
+    from websearchengine_spark.operators.build import build_index
+    from websearchengine_spark.operators.spell import SPELL_ASSIST_TABLE
+    from websearchengine_spark.sources.storage import IndexStorage
+
+    root = str(tmp_path / "sa_idx")
+    pages = spark.createDataFrame(corpus_pdf.iloc[:30])
+    build_index(spark, pages, root, n_shards=2, n_groups=1, spell_assist=True)
+    store = IndexStorage(root)
+    assert store.exists(SPELL_ASSIST_TABLE)
+    assert store.read_manifest()["config"]["spell_assist"] is True
+    rows = store.read_table(spark, SPELL_ASSIST_TABLE)
+    assert {c for c in rows.columns} == {"bigram", "term", "freq", "len", "alpha"}
+    # every bigram row really is a substring of its term
+    from pyspark.sql import functions as F
+
+    assert rows.filter(~F.col("term").contains(F.col("bigram"))).count() == 0

@@ -220,6 +220,7 @@ def build_index(
     block_size: int | None = None,
     positions: bool = True,
     head_frac: float | None = None,
+    spell_assist: bool = False,
 ) -> IndexStorage:
     """Build the full index at ``index_root``; resumable per shard-group.
 
@@ -489,6 +490,15 @@ def build_index(
     store.write_table(term_stats, "term_stats")
     _mark("term_stats")
 
+    if spell_assist:
+        # persisted bigram->terms assist table (reference utils/
+        # AssistantIndexBuilder.java:117-161): /prediction then scans
+        # the target's bigram row groups, not the whole vocabulary
+        from websearchengine_spark.operators.spell import build_spell_assist
+
+        build_spell_assist(spark, store)
+        _mark("spell_assist")
+
     # ---- build_meta table + snapshot -----------------------------------
     m = store.read_manifest()
     meta_rows = [
@@ -517,6 +527,7 @@ def build_index(
             "total_tf": int(srow["total_tf"]),
             "positions": positions,
             "head_frac": _hfrac,
+            "spell_assist": bool(spell_assist),
             "phase_timings_sec": phase_t,
         }
     )

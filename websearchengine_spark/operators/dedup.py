@@ -220,7 +220,15 @@ def minhash_lsh_pairs(
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """(doc_id, simhash: long): tf-weighted sign-bit fingerprint."""
+    """(doc_id, simhash: long): tf-weighted sign-bit fingerprint.
+
+    All ``bits`` per-bit contribution sums are conditional aggregates of
+    ONE groupBy(doc_id) over the (doc_id, term, tf) rows — no per-bit
+    explode (the old shape emitted bits x distinct-(doc,term) rows and
+    an extra (doc, bit) shuffle; round-3 review).  Catalyst's
+    subexpression elimination computes each term's md5 digest once even
+    though every bit's aggregate references it.  Pinned explode-free by
+    test_plans.py."""
     toks = widen_for_explode(docs).select(
         "doc_id",
         F.explode(F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")).alias(
@@ -228,30 +236,23 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
         ),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    contribs = tf.select(
-        "doc_id",
-        "tf",
-        "term",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-    ).withColumn(
-        "contrib",
-        F.col("tf")
-        * F.when(
-            F.substring(F.md5(F.encode("term", "UTF-8")), F.col("b") + 1, 1).isin(
-                "1", "3", "5", "7", "9", "b", "d", "f"
-            ),
-            1,
-        ).otherwise(-1),
-    )
-    return (
-        contribs.groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bit", F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b"))).otherwise(0.0)
+    digest = F.md5(F.encode("term", "UTF-8"))
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    aggs = [
+        F.sum(
+            F.col("tf")
+            * F.when(F.substring(digest, b + 1, 1).isin(*odd), 1).otherwise(-1)
+        ).alias(f"_s{b}")
+        for b in range(bits)
+    ]
+    per_doc = tf.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(bits):
+        bit = (
+            F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
         )
-        .groupBy("doc_id")
-        .agg(F.sum("bit").cast("long").alias("simhash"))
-    )
+        sim = bit if sim is None else sim + bit
+    return per_doc.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_duplicate_pairs(

@@ -270,8 +270,13 @@ def merge_many_indexes(
         max_dl = int(srow["max_dl"] or 0)
         avg_dl = total_tf / max(1, num_docs)
     else:
+        # .get: stats tables written before max_dl was recorded lack the
+        # column — degrade to 0 (same legacy tolerance as segment_id_span)
         max_dl = max(
-            int(s.read_table(spark, "stats").collect()[0]["max_dl"] or 0)
+            int(
+                s.read_table(spark, "stats").collect()[0].asDict().get("max_dl")
+                or 0
+            )
             for s in stores
         )
     stats = spark.createDataFrame(
@@ -402,6 +407,16 @@ def merge_many_indexes(
         )
     )
     out.write_table(term_stats, "term_stats")
+
+    # compaction preserves index features: inputs carrying a spell-assist
+    # table get one rebuilt over the merged vocabulary
+    from websearchengine_spark.operators.spell import (
+        SPELL_ASSIST_TABLE,
+        build_spell_assist,
+    )
+
+    if all(s.exists(SPELL_ASSIST_TABLE) for s in stores):
+        build_spell_assist(spark, out)
 
     cfg = {
         "n_shards": n_shards,

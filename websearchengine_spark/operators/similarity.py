@@ -16,6 +16,7 @@ query time would re-scan 100% of the vectors per query.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,28 +59,37 @@ def lsh_bucket(
 
     Plane p's weight for dimension i is a fixed hash of (i, p) — no
     stored model, reproducible everywhere (including in plain SQL).
-    """
-    rows = emb.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"),
-        F.col(vec_col).alias("v"),
-    )
-    per_dim = rows.select(
-        id_col,
-        "p",
-        F.explode(F.sequence(F.lit(1), F.size("v"))).alias("i"),
-        F.element_at(_as_double(F.col("v")), F.col("i")).alias("x"),
-    ).withColumn(
-        "w", ((F.col("i") * (F.col("p") + 3) * 2654435761) % 1000) / 1000.0 - 0.5
-    )
-    dots = per_dim.groupBy(id_col, "p").agg(F.sum(F.col("x") * F.col("w")).alias("d"))
-    return (
-        dots.withColumn(
-            "bit", F.when(F.col("d") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(0.0)
+
+    NO row amplification: every plane's dot product is a zip_with/
+    aggregate fold over the array column inside one projection, so the
+    plan is a single narrow scan (round-3 review: the old per-(plane,
+    dimension) explode emitted n_planes x n_dim rows per vector — a
+    ~10^3 constant at real embedding widths — and needed two
+    aggregations to fold back; pinned explode-free by test_plans.py)."""
+    v = _as_double(F.col(vec_col))
+    idx = F.sequence(F.lit(1), F.size(F.col(vec_col)))
+
+    def dot_plane(p: int):
+        # weight(i, p) = hash of (i, p) in [-0.5, 0.5): same formula the
+        # SQL oracle mirrors; (p+3)*2654435761 is folded to a literal
+        mult = (p + 3) * 2654435761
+        return F.aggregate(
+            F.zip_with(
+                v,
+                idx,
+                lambda x, i: x * (((i * F.lit(mult)) % 1000) / 1000.0 - 0.5),
+            ),
+            F.lit(0.0),
+            lambda s, t: s + t,
         )
-        .groupBy(id_col)
-        .agg(F.sum("bit").cast("long").alias("bucket"))
-    )
+
+    bucket = None
+    for p in range(n_planes):
+        bit = (
+            F.when(dot_plane(p) > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col), bucket.alias("bucket"))
 
 
 def cosine_near_dup_pairs(
@@ -163,6 +173,213 @@ def ivf_build_centroids(
         .collect()
     )
     return [list(r["centroid"]) for r in agg]
+
+
+def _uniform_hash(ids, salt: int):
+    """Vectorized deterministic uniform(0,1) draw per id (Knuth
+    multiplicative hash lanes xor-folded with the salt) — reproducible
+    sampling without RNG state on executors."""
+    import numpy as np
+
+    x = (ids.astype(np.uint64) * np.uint64(2654435761)) ^ np.uint64(
+        salt * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+    )
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def ivf_train_centroids_kmeans(
+    emb: DataFrame,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rounds: int = 3,
+    oversample: float = 2.0,
+    n_iters: int = 5,
+    seed: int = 13,
+) -> list[list[float]]:
+    """k-means|| coarse quantizer (Bahmani et al., VLDB'12) — the
+    production replacement for ivf_build_centroids' residue-class
+    placeholder (which stays as the deterministic oracle mode).
+
+    Scale shape: every step is a full-scan mapInPandas whose output is a
+    PARTIAL AGGREGATE (per-Arrow-batch cost sums, candidate weights, or
+    per-cluster count+sum partials), so the driver only ever collects
+    O(n_batches x nlist) tiny rows — no embedding shuffle, no
+    per-iteration groupBy over the vectors, centers travel by broadcast.
+
+      1. seeding: n_rounds of D^2-weighted oversampling (each point
+         sampled w.p. min(1, l * d2/cost) with l = oversample*nlist,
+         deterministic per-id hash draws), giving ~l*n_rounds candidates;
+      2. candidates weighted by the size of their nearest-candidate
+         cluster (one pass), then reduced to nlist centers by a local
+         weighted Lloyd on the driver (numpy, deterministic init);
+      3. n_iters distributed Lloyd refinements (one pass each).
+
+    Deterministic for fixed inputs/seed.  Returns nlist centroids
+    ordered by first dimension (stable downstream ids)."""
+    import numpy as np
+
+    df = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    spark = df.sparkSession
+    sc = spark.sparkContext
+
+    first = df.orderBy("_id").limit(1).collect()[0]
+    centers = np.asarray([first["_v"]], dtype=np.float64)
+    n_dim = centers.shape[1]
+    l = float(oversample) * nlist
+
+    def _mats(pdf):
+        ids = pdf["_id"].to_numpy().astype(np.int64)
+        X = np.array(list(pdf["_v"]), dtype=np.float64).reshape(len(pdf), n_dim)
+        return ids, X
+
+    def _d2(X, C):
+        # squared distance to the nearest center, numerically safe
+        d = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * X @ C.T
+            + (C * C).sum(axis=1)[None, :]
+        )
+        return np.maximum(d.min(axis=1), 0.0), d.argmin(axis=1)
+
+    # ---- k-means|| seeding rounds --------------------------------------
+    for r in range(n_rounds):
+        bc = sc.broadcast(centers)
+
+        def cost_partials(batches):
+            for pdf in batches:
+                _ids, X = _mats(pdf)
+                c, _ = _d2(X, bc.value)
+                yield pd.DataFrame({"cost": [float(c.sum())]})
+
+        total_cost = (
+            df.mapInPandas(cost_partials, schema="cost double")
+            .agg(F.sum("cost"))
+            .collect()[0][0]
+            or 0.0
+        )
+        if total_cost <= 0.0:
+            break  # every point sits on a center already
+
+        def sample_candidates(batches, _r=r, _cost=total_cost):
+            for pdf in batches:
+                ids, X = _mats(pdf)
+                c, _ = _d2(X, bc.value)
+                p = np.minimum(1.0, l * c / _cost)
+                take = _uniform_hash(ids, seed * 1000 + _r) < p
+                if take.any():
+                    yield pd.DataFrame(
+                        {"v": [row.tolist() for row in X[take]]}
+                    )
+
+        cand = [
+            np.asarray(r_["v"], dtype=np.float64)
+            for r_ in df.mapInPandas(
+                sample_candidates, schema="v array<double>"
+            ).collect()
+        ]
+        if cand:
+            centers = np.unique(
+                np.concatenate([centers, np.stack(cand)]), axis=0
+            )
+        bc.destroy()
+
+    # ---- weight candidates by nearest-candidate cluster size -----------
+    bc = sc.broadcast(centers)
+
+    def weight_partials(batches):
+        for pdf in batches:
+            _ids, X = _mats(pdf)
+            if not len(X):
+                continue
+            _, a = _d2(X, bc.value)
+            w = np.bincount(a, minlength=len(bc.value))
+            nz = np.flatnonzero(w)
+            yield pd.DataFrame({"c": nz.astype(np.int64), "w": w[nz].astype(np.int64)})
+
+    wrows = (
+        df.mapInPandas(weight_partials, schema="c long, w long")
+        .groupBy("c")
+        .agg(F.sum("w").alias("w"))
+        .collect()
+    )
+    weights = np.zeros(len(centers), dtype=np.float64)
+    for r_ in wrows:
+        weights[r_["c"]] = float(r_["w"])
+    bc.destroy()
+
+    # ---- local weighted Lloyd reduces candidates -> nlist centers ------
+    rng = np.random.default_rng(seed)
+    if len(centers) <= nlist:
+        C = centers[np.argsort(centers[:, 0], kind="stable")]
+    else:
+        # weighted kmeans++ init over the candidate set
+        picks = [int(np.argmax(weights))]
+        for _ in range(nlist - 1):
+            d = ((centers[:, None, :] - centers[picks][None, :, :]) ** 2).sum(-1)
+            d2 = d.min(axis=1) * weights
+            if d2.sum() <= 0:
+                probs = weights / weights.sum()
+            else:
+                probs = d2 / d2.sum()
+            picks.append(int(rng.choice(len(centers), p=probs)))
+        C = centers[picks]
+        for _ in range(25):
+            d = ((centers[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(axis=1)
+            newC = C.copy()
+            for j in range(nlist):
+                m = a == j
+                wj = weights[m]
+                if wj.sum() > 0:
+                    newC[j] = (centers[m] * wj[:, None]).sum(0) / wj.sum()
+            if np.allclose(newC, C):
+                break
+            C = newC
+        C = C[np.argsort(C[:, 0], kind="stable")]
+
+    # ---- distributed Lloyd refinement ----------------------------------
+    for _ in range(n_iters):
+        bc = sc.broadcast(C)
+
+        def lloyd_partials(batches):
+            for pdf in batches:
+                _ids, X = _mats(pdf)
+                if not len(X):
+                    continue
+                _, a = _d2(X, bc.value)
+                rows = {"c": [], "n": [], "s": []}
+                for j in np.unique(a):
+                    m = a == j
+                    rows["c"].append(int(j))
+                    rows["n"].append(int(m.sum()))
+                    rows["s"].append(X[m].sum(axis=0).tolist())
+                yield pd.DataFrame(rows)
+
+        parts = df.mapInPandas(
+            lloyd_partials, schema="c int, n long, s array<double>"
+        ).collect()
+        bc.destroy()
+        cnt = np.zeros(nlist, dtype=np.float64)
+        sums = np.zeros_like(C)
+        for r_ in parts:
+            cnt[r_["c"]] += float(r_["n"])
+            sums[r_["c"]] += np.asarray(r_["s"], dtype=np.float64)
+        moved = cnt > 0
+        newC = C.copy()
+        newC[moved] = sums[moved] / cnt[moved, None]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    C = C[np.argsort(C[:, 0], kind="stable")]
+    return [list(map(float, row)) for row in C]
 
 
 def ivf_assign(

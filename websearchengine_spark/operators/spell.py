@@ -46,6 +46,51 @@ from websearchengine_spark.sources.storage import IndexStorage
 FREQ_THRESHOLD = 2000  # reference: posting-list length > 2000
 WINDOW_SIZE = 2
 
+# Persisted spell-assist table (reference utils/AssistantIndexBuilder.
+# java:117-161 precomputes bigram->terms and len->terms maps at INDEX
+# time; re-deriving the bigram pool from term_stats per query re-scans
+# the whole vocabulary — at a 10^8-term vocab that's the /prediction
+# hot path's dominant cost).  One row per (term, distinct bigram) with
+# the static filters precomputed; repartitioned+sorted by bigram so the
+# per-query isin() filter prunes parquet row groups.
+SPELL_ASSIST_TABLE = "spell_bigrams"
+
+
+def _bigram_col():
+    return F.explode(
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(term)-1, 1)),"
+                " i -> substring(term, i, 2))"
+            )
+        )
+    ).alias("bigram")
+
+
+def build_spell_assist(spark: SparkSession, store: IndexStorage) -> None:
+    """Materialize the spell-assist table from term_stats: (bigram,
+    term, freq, len, alpha).  Build-time cost is one vocab pass
+    (~avg_term_len rows per term); every /prediction afterwards reads
+    only the target's own bigram row groups instead of the vocabulary."""
+    vocab = store.read_table(spark, "term_stats").select(
+        "term",
+        # posting-list length in the occurrence format = 2 * ctf
+        (2 * F.col("ctf")).alias("freq"),
+    )
+    rows = (
+        vocab.select(
+            "term",
+            "freq",
+            F.length("term").cast("int").alias("len"),
+            F.col("term").rlike("^[a-zA-Z]+$").alias("alpha"),
+            _bigram_col(),
+        )
+        .filter(F.length("bigram") == 2)
+        .repartition("bigram")
+        .sortWithinPartitions("bigram")
+    )
+    store.write_table(rows, SPELL_ASSIST_TABLE)
+
 
 def _bigrams(s: str) -> list[str]:
     return [s[i : i + 2] for i in range(len(s) - 1)]
@@ -58,7 +103,13 @@ def token_candidates(
     freq_threshold: int = FREQ_THRESHOLD,
 ) -> list[str]:
     """Per-token candidate list (reference order: ascending frequency
-    from the heap, target appended first). Returns candidate terms."""
+    from the heap, target appended first). Returns candidate terms.
+
+    Uses the persisted SPELL_ASSIST_TABLE when the index carries one
+    (build_index(spell_assist=True)): the bigram isin() filter pushes
+    into that table's parquet scan, so a query touches the target's own
+    bigram row groups — not the whole vocabulary.  Falls back to
+    deriving the pool from term_stats for indexes built without it."""
     vocab = store.read_table(spark, "term_stats")
     # posting-list length in the occurrence format = 2 * ctf
     vocab = vocab.select("term", (2 * F.col("ctf")).alias("freq"))
@@ -72,18 +123,20 @@ def token_candidates(
             [(i, b) for i, b in enumerate(bgs)], "pos int, bigram string"
         )
         boundary = 1 if len(target) <= 5 else 2
-        vb = vocab.select(
-            "term",
-            "freq",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, greatest(length(term)-1, 1)),"
-                        " i -> substring(term, i, 2))"
-                    )
-                )
-            ).alias("bigram"),
-        ).filter(F.length("bigram") == 2)
+        if store.exists(SPELL_ASSIST_TABLE):
+            vb = (
+                store.read_table(spark, SPELL_ASSIST_TABLE)
+                # static filters were precomputed at build; the bigram
+                # and len predicates reach the parquet scan
+                .filter(F.col("bigram").isin(sorted(set(bgs))))
+                .filter(F.abs(F.col("len") - len(target)) < 3)
+                .filter(F.col("alpha"))
+                .select("term", "freq", "bigram")
+            )
+        else:
+            vb = vocab.select("term", "freq", _bigram_col()).filter(
+                F.length("bigram") == 2
+            )
         cand = (
             vb.join(F.broadcast(bdf), "bigram")
             .groupBy("term", "freq")

@@ -233,6 +233,50 @@ def _rows_to_blocks(blocks) -> list:
     ]
 
 
+def _combine_excl(base, expdf: pd.DataFrame):
+    """Union a closure-side exclude array with this shard's cogrouped
+    (executor-resident) tombstone rows.  Returns a sorted unique int64
+    array or None."""
+    if expdf is None or len(expdf) == 0:
+        return base
+    ids = np.unique(expdf["doc_id"].to_numpy().astype(np.int64))
+    if base is None or base.size == 0:
+        return ids
+    return np.union1d(base, ids)
+
+
+def _exclude_by_shard(exclude_df: DataFrame) -> "object":
+    """Normalize an exclude_df to (shard int, doc_id long) grouped by
+    shard, ready to cogroup with the postings."""
+    return exclude_df.select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    ).groupBy("shard")
+
+
+def _idf_table(
+    num_docs: int,
+    df_by_term: dict[str, int],
+    df_override: dict[str, int] | None,
+) -> dict[str, float]:
+    """BM25 idf per term present in THIS index, from the override df when
+    given.  A partial override is a caller contract error (the multi-
+    index path always supplies every term's global df) — raise a clear
+    ValueError instead of the opaque KeyError it used to be."""
+    idf_df = df_by_term if df_override is None else df_override
+    if df_override is not None:
+        missing = sorted(t for t in df_by_term if t not in df_override)
+        if missing:
+            raise ValueError(
+                "df_override must cover every query term present in this "
+                f"index's term_stats; missing: {missing}"
+            )
+    return {
+        t: math.log((num_docs - idf_df[t] + 0.5) / (idf_df[t] + 0.5) + 1.0)
+        for t in df_by_term
+    }
+
+
 # Safety margin subtracted from the phase-1 threshold: the per-doc UB is a
 # float sum of per-term maxima, so without a margin a doc whose exact score
 # TIES the threshold could be pruned by last-ulp noise and break the pinned
@@ -266,6 +310,7 @@ def wand_topk(
     docs_join: bool = True,
     exclude_doc_ids=None,
     local_df: dict[str, int] | None = None,
+    exclude_df: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k over the sharded index via the block-max kernel.
 
@@ -300,6 +345,17 @@ def wand_topk(
     multi-index caller that already read every segment's term_stats in
     one job skip the per-segment driver round-trip.
 
+    ``exclude_df`` is the EXECUTOR-RESIDENT form of the tombstone mask:
+    a (shard, doc_id) DataFrame cogrouped with the postings by shard, so
+    the exclusion set reaches each shard's kernel through the shuffle —
+    never collected to the driver, never serialized into task closures
+    (10^8 pending tombstones cost one small parquet-scan+shuffle, not
+    driver memory).  This is the scale path live-index search uses
+    (streaming/ingest.py); ``exclude_doc_ids`` remains for small
+    driver-known sets.  Both may be combined (ids are unioned).  With
+    two-phase pruning only the phase-1 shard's slice (1/n_shards of the
+    rows) is collected for the driver-side threshold pass.
+
     Returns the same columns as query.run_query, ordered by
     (score desc, doc_id asc)."""
     store = IndexStorage(index_root)
@@ -323,7 +379,7 @@ def wand_topk(
             spark, index_root, [query], k=k,
             corpus_stats=corpus_stats, df_override=df_override,
             docs_join=docs_join, exclude_doc_ids=exclude_doc_ids,
-            local_df=local_df,
+            local_df=local_df, exclude_df=exclude_df,
         )
         if not docs_join:
             return out.select("doc_id", "score").orderBy(
@@ -365,11 +421,7 @@ def wand_topk(
         df_by_term = {r["term"]: r["df"] for r in ts}
     if len(df_by_term) < len(terms):
         return empty()
-    idf_df = df_override if df_override is not None else df_by_term
-    idf = {
-        t: math.log((num_docs - idf_df[t] + 0.5) / (idf_df[t] + 0.5) + 1.0)
-        for t in df_by_term
-    }
+    idf = _idf_table(num_docs, df_by_term, df_override)
 
     postings = store.read_partitioned(spark, "postings").filter(
         F.col("term").isin(terms)
@@ -423,9 +475,20 @@ def wand_topk(
             .collect()
         )
         if rows0:
+            excl0 = excl
+            if exclude_df is not None:
+                # only the phase-1 shard's slice of the exclusion set is
+                # driver-collected (1/n_shards of the rows; the rest stay
+                # executor-resident via the cogroup below)
+                excl0 = _combine_excl(
+                    excl0,
+                    exclude_df.filter(F.col("shard") == phase1_shard)
+                    .select("doc_id")
+                    .toPandas(),
+                )
             term_lists0 = {r["term"]: _rows_to_blocks(r["blocks"]) for r in rows0}
             d0, s0, _st0 = shard_bm25_topk(
-                term_lists0, qweights, idf, avg_dl, k, exclude=excl,
+                term_lists0, qweights, idf, avg_dl, k, exclude=excl0,
                 bound_scale=bound_scale,
             )
             phase1_out = [(int(d), float(s)) for d, s in zip(d0, s0)]
@@ -434,24 +497,41 @@ def wand_topk(
 
     thr = threshold  # captured by value in the kernel closure
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_shard(pdf: pd.DataFrame, shard_excl) -> pd.DataFrame:
         term_lists = {
             t: _rows_to_blocks(b) for t, b in zip(pdf["term"], pdf["blocks"])
         }
         d, s, stats = shard_bm25_topk(
-            term_lists, qweights, idf, avg_dl, k, threshold=thr, exclude=excl,
-            bound_scale=bound_scale,
+            term_lists, qweights, idf, avg_dl, k, threshold=thr,
+            exclude=shard_excl, bound_scale=bound_scale,
         )
         for key in ("pruned_by_ub", "blocks_decoded", "blocks_total", "candidates"):
             acc[key].add(stats[key])
         return pd.DataFrame({"doc_id": d, "score": s})
 
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_shard(pdf, excl)
+
+    def kernel_cogroup(pdf: pd.DataFrame, expdf: pd.DataFrame) -> pd.DataFrame:
+        # a shard with tombstones but no postings yields an empty left
+        # side; score_shard handles it (no terms -> empty result)
+        return score_shard(pdf, _combine_excl(excl, expdf))
+
     rest = postings
     if phase1_shard is not None:
         rest = rest.filter(F.col("shard") != phase1_shard)
-    per_shard = rest.select("shard", "term", "blocks").groupBy("shard").applyInPandas(
-        kernel, schema="doc_id long, score double"
-    )
+    rest_g = rest.select("shard", "term", "blocks").groupBy("shard")
+    if exclude_df is not None:
+        ex = exclude_df
+        if phase1_shard is not None:
+            ex = ex.filter(F.col("shard") != phase1_shard)
+        per_shard = rest_g.cogroup(_exclude_by_shard(ex)).applyInPandas(
+            kernel_cogroup, schema="doc_id long, score double"
+        )
+    else:
+        per_shard = rest_g.applyInPandas(
+            kernel, schema="doc_id long, score double"
+        )
     # (when phase-1 found no candidates in its shard there is nothing to union)
     if phase1_out:
         p1 = spark.createDataFrame(phase1_out, "doc_id long, score double")
@@ -574,6 +654,7 @@ def wand_topk_batch(
     docs_join: bool = True,
     exclude_doc_ids=None,
     local_df: dict[str, int] | None = None,
+    exclude_df: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k for MANY queries in one job: postings for the union of
     all query terms are scanned once; each shard task scores every query
@@ -589,7 +670,9 @@ def wand_topk_batch(
     ``corpus_stats`` / ``df_override`` / ``docs_join``: see wand_topk —
     the live multi-index search path supplies union statistics here and
     joins metadata once after the cross-index merge (``docs_join=False``
-    returns (query, doc_id, score, rank) without the docs join)."""
+    returns (query, doc_id, score, rank) without the docs join).
+    ``exclude_df``: executor-resident (shard, doc_id) exclusion rows
+    cogrouped with the postings — see wand_topk."""
     store = IndexStorage(index_root)
     analyzer = index_analyzer(store)
     docs = store.read_table(spark, "docs")
@@ -634,11 +717,7 @@ def wand_topk_batch(
     else:
         ts = store.read_table(spark, "term_stats").filter(F.col("term").isin(all_terms)).collect()
         df_by_term = {r["term"]: r["df"] for r in ts}
-    idf_df = df_override if df_override is not None else df_by_term
-    idf = {
-        t: math.log((num_docs - idf_df[t] + 0.5) / (idf_df[t] + 0.5) + 1.0)
-        for t in df_by_term
-    }
+    idf = _idf_table(num_docs, df_by_term, df_override)
     # queries with a term absent from the corpus can never match
     specs = [
         (qid, qw, ph) for qid, qw, ph in specs if all(t in df_by_term for t in qw)
@@ -656,16 +735,28 @@ def wand_topk_batch(
         else None
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_shard(pdf: pd.DataFrame, shard_excl) -> pd.DataFrame:
         term_lists = {t: _rows_to_blocks(b) for t, b in zip(pdf["term"], pdf["blocks"])}
         q, d, s = shard_bm25_topk_batch(
-            term_lists, specs, idf, avg_dl, k, exclude=excl
+            term_lists, specs, idf, avg_dl, k, exclude=shard_excl
         )
         return pd.DataFrame({"qid": q, "doc_id": d, "score": s})
 
-    per_shard = postings.select("shard", "term", "blocks").groupBy("shard").applyInPandas(
-        kernel, schema="qid long, doc_id long, score double"
-    )
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_shard(pdf, excl)
+
+    def kernel_cogroup(pdf: pd.DataFrame, expdf: pd.DataFrame) -> pd.DataFrame:
+        return score_shard(pdf, _combine_excl(excl, expdf))
+
+    postings_g = postings.select("shard", "term", "blocks").groupBy("shard")
+    if exclude_df is not None:
+        per_shard = postings_g.cogroup(_exclude_by_shard(exclude_df)).applyInPandas(
+            kernel_cogroup, schema="qid long, doc_id long, score double"
+        )
+    else:
+        per_shard = postings_g.applyInPandas(
+            kernel, schema="qid long, doc_id long, score double"
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -106,6 +106,12 @@ def read_live_catalog(root: str) -> dict:
         "applied_batches": [],  # batch ids already ingested (exactly-once)
         "config": {},           # build kwargs pinned by the first batch
         "lineage": [],          # append-only event log
+        # [{"file": rel_path, "n": rows}] — tombstone parquet files whose
+        # writing batch PUBLISHED (visibility is catalog-gated: a file
+        # from a torn batch is invisible until redelivery republishes it
+        # together with its segment, so re-crawled urls never vanish in
+        # the crash window between tombstone write and catalog write)
+        "tombstone_files": [],
     }
 
 
@@ -123,23 +129,105 @@ def live_segment_roots(root: str) -> list[str]:
     return [os.path.join(root, s["dir"]) for s in cat["segments"]]
 
 
-def read_tombstones(spark: SparkSession, root: str) -> dict[str, "object"]:
+def tombstone_files(root: str) -> list[dict]:
+    """Catalog-listed PENDING tombstone files, [{"file": rel, "n": rows}].
+
+    Visibility is gated on the catalog: a tombstone parquet written by a
+    batch that crashed before its catalog publish is NOT returned (its
+    urls stay visible until redelivery republishes tombstones + segment
+    together — the atomic-publish contract).  Legacy roots whose catalog
+    predates the listing fall back to a directory scan (unknown counts)."""
+    cat = read_live_catalog(root)
+    if "tombstone_files" in cat:
+        return list(cat["tombstone_files"])
+    p = os.path.join(root, TOMBSTONES_DIR)
+    if not os.path.isdir(p):
+        return []
+    return [
+        {"file": os.path.join(TOMBSTONES_DIR, e), "n": None}
+        for e in sorted(os.listdir(p))
+        if e.startswith(("batch-", "op-"))
+    ]
+
+
+def _ensure_tombstone_listing(cat: dict, root: str) -> None:
+    """First catalog write under the catalog-gated scheme on a legacy
+    root: absorb the directory's pre-listing tombstone files so they
+    stay visible once the key exists (the scan fallback stops then)."""
+    if "tombstone_files" in cat:
+        return
+    p = os.path.join(root, TOMBSTONES_DIR)
+    cat["tombstone_files"] = (
+        [
+            {"file": os.path.join(TOMBSTONES_DIR, e), "n": None}
+            for e in sorted(os.listdir(p))
+            if e.startswith(("batch-", "op-"))
+        ]
+        if os.path.isdir(p)
+        else []
+    )
+
+
+def pending_tombstones(root: str) -> int | None:
+    """Total tombstoned doc_ids awaiting compaction — catalog sums, zero
+    Spark jobs (None on a legacy root whose counts are unknown)."""
+    files = tombstone_files(root)
+    if any(f.get("n") is None for f in files):
+        return None
+    return sum(int(f["n"]) for f in files)
+
+
+# Pending-tombstone gauge threshold: search stays correct and
+# executor-resident at any backlog, but df/num_docs statistics drift and
+# per-shard masking work grows with it — past this, compaction is overdue.
+COMPACTION_OVERDUE_TOMBSTONES = 10_000_000
+
+
+def compaction_overdue(root: str, threshold: int | None = None) -> bool:
+    """True when the pending-tombstone backlog exceeds ``threshold``
+    (default COMPACTION_OVERDUE_TOMBSTONES) — the LSM health gauge the
+    compaction policy should watch alongside segment count."""
+    n = pending_tombstones(root)
+    t = COMPACTION_OVERDUE_TOMBSTONES if threshold is None else threshold
+    return n is not None and n > t
+
+
+def tombstones_df(spark: SparkSession, root: str, n_shards: int):
+    """Pending tombstones as a (seg, shard, doc_id) DataFrame, or None.
+
+    This is the EXECUTOR-RESIDENT delete path: search filters per
+    segment and hands the (shard, doc_id) rows to
+    topk.wand_topk(exclude_df=), which cogroups them with the postings
+    by shard — the delete set reaches each shard kernel through the
+    shuffle, never the driver and never a task closure.  shard is
+    doc_id % n_shards, the index's own sharding rule."""
+    files = tombstone_files(root)
+    if not files:
+        return None
+    paths = [os.path.join(root, f["file"]) for f in files]
+    return spark.read.parquet(*paths).select(
+        "seg",
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+def read_tombstones(
+    spark: SparkSession, root: str, files: list[dict] | None = None
+) -> dict[str, "object"]:
     """{segment_dir: np.ndarray of LOCAL doc_ids superseded by later
-    re-crawls}.  Tombstoned docs are excluded from every search until
-    compaction physically removes them (Lucene-style delete visibility:
-    invisible immediately, statistics corrected at merge)."""
+    re-crawls} — the DRIVER-MATERIALIZED view, used only by compaction
+    (merge_many_indexes takes per-segment arrays); the search path uses
+    tombstones_df and never collects these.  Visibility is catalog-gated
+    (see tombstone_files); pass ``files`` to read an exact snapshot."""
     import numpy as np
 
-    p = os.path.join(root, TOMBSTONES_DIR)
-    if not os.path.isdir(p) or not any(
-        e.startswith(("batch-", "op-")) for e in os.listdir(p)
-    ):
+    if files is None:
+        files = tombstone_files(root)
+    if not files:
         return {}
-    rows = (
-        spark.read.parquet(os.path.join(p, "{batch,op}-*"))
-        .distinct()
-        .collect()
-    )
+    paths = [os.path.join(root, f["file"]) for f in files]
+    rows = spark.read.parquet(*paths).distinct().collect()
     out: dict[str, list] = {}
     for r in rows:
         out.setdefault(r["seg"], []).append(r["doc_id"])
@@ -222,6 +310,7 @@ def apply_pages_batch(
     cat = read_live_catalog(root)  # re-read: the build can take a while
     if batch_id in cat["applied_batches"]:
         return None
+    _ensure_tombstone_listing(cat, root)
 
     n_tombstoned = 0
     if upsert and cat["segments"]:
@@ -236,10 +325,20 @@ def apply_pages_batch(
             )
             hits = h if hits is None else hits.unionByName(h)
         # overwrite = idempotent under crash-and-redeliver; published by
-        # the (atomic) catalog write below, same as the segment itself
-        tomb_path = os.path.join(root, TOMBSTONES_DIR, f"batch-{batch_id:09d}")
+        # the (atomic) catalog write below, same as the segment itself —
+        # readers only see tombstone files the catalog lists, so a crash
+        # here leaves the old versions visible (not vanished) until
+        # redelivery republishes file + segment together
+        tomb_rel = os.path.join(TOMBSTONES_DIR, f"batch-{batch_id:09d}")
+        tomb_path = os.path.join(root, tomb_rel)
         hits.write.mode("overwrite").parquet(tomb_path)
         n_tombstoned = spark.read.parquet(tomb_path).count()
+        if n_tombstoned:
+            cat.setdefault("tombstone_files", []).append(
+                {"file": tomb_rel, "n": int(n_tombstoned)}
+            )
+        else:
+            shutil.rmtree(tomb_path, ignore_errors=True)
     if not cat["config"]:
         cat["config"] = dict(fmt_kwargs)
         # pin the format invariants even when left at build_index defaults
@@ -298,11 +397,22 @@ def delete_urls(
             F.lit(seg["dir"]).alias("seg"), "doc_id"
         )
         hits = h if hits is None else hits.unionByName(h)
-    tomb_path = os.path.join(root, TOMBSTONES_DIR, f"op-{op_id:09d}")
+    tomb_rel = os.path.join(TOMBSTONES_DIR, f"op-{op_id:09d}")
+    tomb_path = os.path.join(root, tomb_rel)
     hits.write.mode("overwrite").parquet(tomb_path)
     n = spark.read.parquet(tomb_path).count()
 
     cat = read_live_catalog(root)
+    _ensure_tombstone_listing(cat, root)
+    # the absorb above scans the dir AFTER this op's file landed — drop
+    # any unknown-count entry for it before appending the counted one
+    cat["tombstone_files"] = [
+        f for f in cat["tombstone_files"] if f["file"] != tomb_rel
+    ]
+    if n:
+        cat["tombstone_files"].append({"file": tomb_rel, "n": int(n)})
+    else:
+        shutil.rmtree(tomb_path, ignore_errors=True)
     cat.setdefault("applied_ops", []).append(op_id)
     cat["lineage"].append(
         {
@@ -374,15 +484,23 @@ def compact_live(
     one driver at a time) — the inline ``compact_every`` path always
     is.  As a safety net, a plain append that lands while the merge
     runs survives the catalog swap (its offset is unchanged: the new
-    base's id_span equals the sum of the merged segments' spans).  An
-    UPSERT batch racing a compaction is NOT supported: its tombstones
-    reference segments the merge consumed without them."""
+    base's id_span equals the sum of the merged segments' spans), and so
+    do tombstone files published while the merge ran (gc removes only
+    the files this compaction consumed).  An UPSERT batch racing a
+    compaction is still NOT fully supported: its surviving tombstones
+    are applied to segments that survive the swap, but entries that
+    reference a segment the merge consumed (without seeing them) target
+    a dir that no longer exists and are never applied."""
     cat = read_live_catalog(root)
     segs = list(cat["segments"])
     if len(segs) < min_segments:
         return None
     seg_roots = [os.path.join(root, s["dir"]) for s in segs]
-    tombs = read_tombstones(spark, root)
+    # snapshot the tombstone files this compaction CONSUMES (catalog-
+    # gated); files published while the merge runs are not consumed and
+    # survive both the catalog swap and gc below
+    consumed = tombstone_files(root)
+    tombs = read_tombstones(spark, root, files=consumed)
     deleted = {
         i: tombs[s["dir"]] for i, s in enumerate(segs) if s["dir"] in tombs
     }
@@ -397,11 +515,18 @@ def compact_live(
     num_docs = int(out_cfg["num_docs"])
 
     cat = read_live_catalog(root)
+    _ensure_tombstone_listing(cat, root)
     merged_dirs = {s["dir"] for s in segs}
     # a segment appended while the merge ran (writers should be
     # single-threaded, but the sink + a driver-side compact can race)
     # survives the swap instead of being orphaned
     appended = [s for s in cat["segments"] if s["dir"] not in merged_dirs]
+    # ... and so do tombstone files published during the merge: only the
+    # snapshot this compaction actually consumed leaves the catalog
+    consumed_set = {f["file"] for f in consumed}
+    cat["tombstone_files"] = [
+        f for f in cat["tombstone_files"] if f["file"] not in consumed_set
+    ]
     cat["generation"] = gen
     cat["segments"] = [
         {
@@ -429,7 +554,16 @@ def compact_live(
     if gc:
         for r in seg_roots:
             shutil.rmtree(r, ignore_errors=True)
-        shutil.rmtree(os.path.join(root, TOMBSTONES_DIR), ignore_errors=True)
+        # delete ONLY the tombstone files this compaction consumed — a
+        # racing upsert's fresh tombstones (published mid-merge) survive
+        # instead of being destroyed with the directory
+        for f in consumed:
+            shutil.rmtree(os.path.join(root, f["file"]), ignore_errors=True)
+        tdir = os.path.join(root, TOMBSTONES_DIR)
+        try:
+            os.rmdir(tdir)  # only removes an EMPTY dir
+        except OSError:
+            pass
     return out_root
 
 
@@ -504,8 +638,21 @@ def search_live(
     total_tf = sum(int(c["total_tf"]) for c in cfgs)
     # tombstoned (superseded-by-re-crawl) docs are masked out of every
     # segment's candidate sets; their df/num_docs contributions remain
-    # until compaction corrects the statistics (Lucene-style visibility)
-    tombs = read_tombstones(spark, root)
+    # until compaction corrects the statistics (Lucene-style visibility).
+    # The mask stays EXECUTOR-RESIDENT: (shard, doc_id) rows cogrouped
+    # with each segment's postings (wand_topk(exclude_df=)) — never
+    # collected to the driver, never shipped in a task closure.
+    tdf = tombstones_df(spark, root, n_shards)
+    if compaction_overdue(root):
+        import warnings
+
+        warnings.warn(
+            f"live index at {root} has {pending_tombstones(root)} pending "
+            "tombstones (> COMPACTION_OVERDUE_TOMBSTONES): statistics "
+            "drift and per-query masking grow until compact_live runs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # global df for the query's terms: K tiny term_stats lookups
     from websearchengine_spark.operators.query import (
@@ -528,7 +675,13 @@ def search_live(
             spark, seg, query, k=k,
             corpus_stats=(num_docs, total_tf), df_override=gdf,
             docs_join=False,
-            exclude_doc_ids=tombs.get(os.path.basename(seg)),
+            exclude_df=(
+                tdf.filter(F.col("seg") == os.path.basename(seg)).select(
+                    "shard", "doc_id"
+                )
+                if tdf is not None
+                else None
+            ),
             local_df=seg_dfs[i],
         )
         if off:
@@ -590,7 +743,7 @@ def search_live_batch(
     offsets = doc_id_offsets([segment_id_span(c) for c in cfgs], n_shards)
     num_docs = sum(int(c["num_docs"]) for c in cfgs)
     total_tf = sum(int(c["total_tf"]) for c in cfgs)
-    tombs = read_tombstones(spark, root)
+    tdf = tombstones_df(spark, root, n_shards)
 
     analyzer = index_analyzer(stores[0])
     terms = sorted(
@@ -613,7 +766,13 @@ def search_live_batch(
             spark, seg, queries, k=k,
             corpus_stats=(num_docs, total_tf), df_override=gdf,
             docs_join=False,
-            exclude_doc_ids=tombs.get(os.path.basename(seg)),
+            exclude_df=(
+                tdf.filter(F.col("seg") == os.path.basename(seg)).select(
+                    "shard", "doc_id"
+                )
+                if tdf is not None
+                else None
+            ),
             local_df=seg_dfs[i],
         ).select("query", "doc_id", "score")
         if off:

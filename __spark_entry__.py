@@ -1565,6 +1565,57 @@ SELECT q1, q2, round(pmi, 9) AS pmi, rn FROM rk WHERE rn <= 3
 ORDER BY q1, rn"""
 
 
+def q_session_pmi_incr(spark, sf_dir):
+    """Q4 served from the INCREMENTAL count tables (round-4;
+    LogDBManager.java:18-48 maintains querycount/paircount per click):
+    the events log is split into two micro-batches at the median
+    timestamp, each folded into count deltas via apply_suggestion_batch
+    (the carry state closes session pairs straddling the boundary), and
+    pmi is computed from the pre-aggregated tables.  Output — and
+    oracle SQL — identical to session_pmi: incremental maintenance
+    never changes what suggestions return."""
+    import shutil
+    import tempfile
+
+    from websearchengine_spark.streaming.clicklog import (
+        apply_suggestion_batch,
+        pmi_suggestions_from_counts,
+        read_pair_counts,
+        read_query_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("session_id"),
+        F.col("event_type").alias("query"),
+        "ts",
+    )
+    lo, hi = e.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    cut = (lo + hi) / 2.0
+    root = tempfile.mkdtemp(prefix="wse_suggest_")
+    try:
+        apply_suggestion_batch(
+            spark, e.filter(F.unix_timestamp("ts") <= cut), 0, root
+        )
+        apply_suggestion_batch(
+            spark, e.filter(F.unix_timestamp("ts") > cut), 1, root
+        )
+        out = pmi_suggestions_from_counts(
+            read_query_counts(spark, root), read_pair_counts(spark, root)
+        )
+        out = (
+            out.withColumn("rn", F.col("rn").cast("long"))
+            .select("q1", "q2", "pmi", "rn")
+            .orderBy("q1", "rn")
+        )
+        rows = out.collect()  # materialize before the tmp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 SPELL_TARGET = "strem"  # misspelling of 'stream' (in the documents vocab)
 _SPELL_FREQ_GATE = 100
 
@@ -2275,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_top10": q_ivf_ann_top10,
         "prf_expansion": q_prf_expansion,
         "session_pmi": q_session_pmi,
+        "session_pmi_incr": q_session_pmi_incr,
         "spell_candidates": q_spell_candidates,
         "eval_metrics": q_eval_metrics,
         "favorite_top20": q_favorite_topk,
@@ -2330,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_top10": SQL_IVF_ANN,
         "prf_expansion": SQL_PRF_EXPANSION,
         "session_pmi": SQL_SESSION_PMI,
+        "session_pmi_incr": SQL_SESSION_PMI,
         "spell_candidates": SQL_SPELL_CANDIDATES,
         "eval_metrics": SQL_EVAL_METRICS,
         "favorite_top20": SQL_FAVORITE_TOPK,

@@ -1,0 +1,121 @@
+"""The HTTP serve loop (websearchengine_spark/serve.py) — curl-style
+integration over real sockets, plus the render-layer XSS hardening
+(deliberate divergence from the reference's raw-innerHTML template)."""
+
+import os
+import urllib.error
+import urllib.request
+
+import pytest
+
+
+def _get(url: str) -> str:
+    with urllib.request.urlopen(url, timeout=120) as resp:
+        assert resp.status == 200
+        return resp.read().decode("utf-8")
+
+
+@pytest.fixture(scope="module")
+def served(spark, corpus_pdf, tmp_path_factory):
+    from websearchengine_spark.operators.build import build_index
+    from websearchengine_spark.serve import SearchHTTPServer
+
+    base = tmp_path_factory.mktemp("serve")
+    root = str(base / "idx")
+    build_index(
+        spark, spark.createDataFrame(corpus_pdf), root,
+        n_shards=4, n_groups=2, keep_doc_tokens=True,
+    )
+    clicks = str(base / "clicks")
+    srv = SearchHTTPServer(spark, root, click_log_dir=clicks)
+    srv.start()
+    yield {"base": f"http://127.0.0.1:{srv.port}", "clicks": clicks}
+    srv.stop()
+
+
+def test_search_endpoint_text_and_html(served):
+    txt = _get(f"{served['base']}/search?query=web+search&ranker=bm25&num=3")
+    lines = [l for l in txt.splitlines() if l]
+    assert 0 < len(lines) <= 3
+    assert all(len(l.split("\t")) == 5 for l in lines)
+
+    html = _get(
+        f"{served['base']}/search?query=web+search&ranker=bm25&num=3&format=html"
+    )
+    assert html.startswith("<!DOCTYPE html>") and "{{" not in html
+
+
+def test_prf_endpoint(served):
+    body = _get(
+        f"{served['base']}/prf?query=web+search&ranker=bm25&numdocs=5&numterms=3"
+    )
+    lines = [l for l in body.splitlines() if l]
+    assert len(lines) == 3
+    for l in lines:
+        term, prob = l.split("\t")
+        assert term and 0.0 < float(prob) <= 1.0
+    assert _get(f"{served['base']}/prf?numdocs=5") == "No query is given!"
+
+
+def test_page_summary_endpoint(served):
+    body = _get(f"{served['base']}/page_summary?num=0")
+    assert body.endswith(" ")
+    assert 1 <= len(body.split()) <= 50
+
+
+def test_prediction_endpoint(served):
+    body = _get(f"{served['base']}/prediction?query=data+mining")
+    # small corpus: every candidate list is just the token itself
+    assert body == "data mining\n"
+
+
+def test_click_logging_endpoint(served):
+    ok = _get(
+        f"{served['base']}/click_loging?did=3&query=web&ranker=bm25&action=click"
+    )
+    assert ok == "Success!"
+    spool = os.path.join(served["clicks"], "clicks.tsv")
+    with open(spool) as f:
+        line = f.read().splitlines()[-1]
+    sess, q, did, action, _ts = line.split("\t")
+    assert (q, did, action) == ("web", "3", "click")
+
+
+def test_error_paths_stay_http(served):
+    # bogus ranker: an error PAGE, not a dead socket (reference contract)
+    body = _get(f"{served['base']}/search?query=x")
+    assert "ranker" in body
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{served['base']}/nope")
+    assert ei.value.code == 404
+
+
+def test_html_render_is_xss_hardened():
+    """Reflected (query/ranker) and stored (crawled title) payloads
+    render inert: placeholders are HTML-escaped, titles only ever
+    appear base64-encoded and are decoded into TEXT nodes."""
+    from websearchengine_spark.operators.render import (
+        DEFAULT_HTML_TEMPLATE,
+        format_html_results,
+    )
+
+    rows = [
+        {
+            "doc_id": 1,
+            "title": '<img src=x onerror="alert(1)">',
+            "score": 1.0,
+            "pagerank": 0.0,
+            "numviews": 0,
+        }
+    ]
+    html = format_html_results(
+        rows,
+        query="<script>alert(1)</script>",
+        ranker='"><script>steal()</script>',
+    )
+    assert "<script>alert(1)</script>" not in html
+    assert "<script>steal()" not in html  # escaped to &lt;script&gt;... only
+    assert "&lt;script&gt;" in html
+    assert "<img" not in html  # the title travels base64-encoded only
+    assert "innerHTML" not in DEFAULT_HTML_TEMPLATE
+    assert "textContent" in DEFAULT_HTML_TEMPLATE

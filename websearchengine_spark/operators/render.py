@@ -23,24 +23,30 @@ exponent-styled extremes (Java ``1.0E-7`` vs Python ``1e-07``).
 from __future__ import annotations
 
 import base64
+import html as _html
 
 # Minimal stand-in for the reference's public/index.html: same four
-# placeholders, decoded client-side exactly like the reference's js.
+# placeholders, decoded client-side like the reference's js — EXCEPT
+# that (a deliberate safety divergence from the reference, which
+# innerHTML's the raw strings): {{query}}/{{ranker}} are HTML-escaped
+# at substitution time and appear only in markup context (never inside
+# a script string), and the decoded result records become DOM TEXT
+# nodes (textContent), so a crawled page title or a reflected query
+# containing markup renders inert instead of executing.
 DEFAULT_HTML_TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>search: {{query}}</title>
 <script>
- var query = "{{query}}";
- var ranker = "{{ranker}}";
  var result = "{{result}}";
  var count = {{count}};
  window.onload = function () {
    var rows = atob(result).split("&&&");
-   var out = "";
+   var ol = document.getElementById("r");
    for (var i = 0; i + 2 < rows.length; i += 3) {
-     out += "<li>doc " + rows[i] + " (" + rows[i + 1] + "): "
-          + rows[i + 2] + "</li>";
+     var li = document.createElement("li");
+     li.textContent = "doc " + rows[i] + " (" + rows[i + 1] + "): "
+                    + rows[i + 2];
+     ol.appendChild(li);
    }
-   document.getElementById("r").innerHTML = out;
  };
 </script></head>
 <body><h1>{{query}} via {{ranker}} ({{count}} results)</h1>
@@ -73,7 +79,16 @@ def format_html_results(
     reference reads public/index.html; DEFAULT_HTML_TEMPLATE is the
     built-in stand-in), with ``{{result}}`` = base64 of the top
     ``max_results`` ``docid&&&score&&&title&&&`` records, newlines
-    stripped from the encoding exactly as the reference does."""
+    stripped from the encoding exactly as the reference does.
+
+    {{query}} and {{ranker}} are HTML-ESCAPED before substitution — a
+    deliberate safety divergence from the reference (which substitutes
+    raw, making /search?format=html a reflected-XSS vector); templates
+    must therefore use the placeholders in markup context only.  The
+    base64 {{result}} payload needs no escaping (its alphabet carries
+    no metacharacters); the default template renders the DECODED
+    records as text nodes, neutralizing stored XSS from crawled
+    titles."""
     rows = list(rows)
     records = "".join(
         f"{r['doc_id']}&&&{r['score']!r}&&&{r['title']}&&&"
@@ -82,8 +97,8 @@ def format_html_results(
     encoded = base64.b64encode(records.encode("utf-8")).decode("ascii").replace("\n", "")
     html = template if template is not None else DEFAULT_HTML_TEMPLATE
     return (
-        html.replace("{{query}}", query)
-        .replace("{{ranker}}", ranker)
+        html.replace("{{query}}", _html.escape(query, quote=True))
+        .replace("{{ranker}}", _html.escape(ranker, quote=True))
         .replace("{{count}}", str(len(rows)))
         .replace("{{result}}", encoded)
     )

@@ -1,0 +1,231 @@
+"""The serve loop — a thin HTTP boundary binding the query operators to
+sockets, completing the reference's ``--mode=serve`` surface
+(SearchEngine.startServing, SearchEngine.java:159-181; NanoHTTPD
+dispatch, nanohttpd/FileServer.java:82-140; endpoint routing,
+QueryHandler.java:244-501).
+
+Endpoints (same paths and CGI arguments as the reference):
+
+  /search        query=&ranker=&num=&format=   -> render.serve_search
+  /prf           query=&ranker=&numdocs=&numterms=
+                 -> prf.prf_expand, ``term\\tprob\\n`` lines
+  /prediction    query=  -> spell.correct_query, one corrected query
+                 per line (the reference streams its suggestion list
+                 through constructTextOutput the same way)
+  /page_summary  num=<docid>  -> query.page_summary, the first <=50
+                 position-ordered terms, each followed by a space
+                 (QueryHandler.java:365-376 appends ``term + " "``)
+  /click_loging  did=&query=&ranker=&action=  -> one TSV line appended
+                 to the click spool (the streaming click source
+                 streaming/clicklog.py ingests), "Success!" response —
+                 the reference's ClickLoggingManager.writeToLog
+                 semantics (QueryHandler.java:265-281; [sic] the
+                 reference spells the path "click_loging")
+
+Architecture note (SURVEY.md §3.2): the engine's analytics path keeps
+the driver as the boundary — this server exists to complete the
+reference surface for interactive/live use.  It is a DRIVER-SIDE
+frontend: each request runs small Spark jobs on the shared
+SparkSession (ThreadingHTTPServer; Spark schedules concurrent jobs
+fairly).  It is NOT the 100 TB scale path — that is the batch/driver
+contract — so it deliberately stays stdlib-only and tiny.
+
+Security: responses render through render.py, whose HTML path escapes
+query/ranker and text-node's titles (deliberate divergence from the
+reference's raw innerHTML — see render.py docstrings).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlsplit
+
+
+class SearchHTTPServer:
+    """Bind the query operators to a TCP port.
+
+    >>> srv = SearchHTTPServer(spark, index_root, port=0)  # 0 = ephemeral
+    >>> port = srv.start()
+    >>> # GET http://127.0.0.1:{port}/search?query=web+search&ranker=bm25
+    >>> srv.stop()
+
+    ``fullscan_prep``/``docs_fs``/``html_template`` pass through to
+    render.serve_search (the fullscan ranker family needs one of the
+    first two).  ``click_log_dir``: directory for the click TSV spool;
+    /click_loging 404s without it.
+    """
+
+    def __init__(
+        self,
+        spark,
+        index_root: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        fullscan_prep: dict | None = None,
+        docs_fs=None,
+        html_template: str | None = None,
+        click_log_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.index_root = index_root
+        self.host = host
+        self.port = port
+        self.fullscan_prep = fullscan_prep
+        self.docs_fs = docs_fs
+        self.html_template = html_template
+        self.click_log_dir = click_log_dir
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        self._click_lock = threading.Lock()
+
+    # ---- request handling ----------------------------------------------
+
+    def _handle(self, path: str, uri_query: str) -> tuple[int, str, str]:
+        """(status, content_type, body) for one GET."""
+        from websearchengine_spark.operators.query import parse_cgi_args
+
+        if path == "/search":
+            from websearchengine_spark.operators.render import serve_search
+
+            args = parse_cgi_args(uri_query, url_decode=True)
+            body = serve_search(
+                self.spark,
+                self.index_root,
+                uri_query,
+                fullscan_prep=self.fullscan_prep,
+                docs_fs=self.docs_fs,
+                html_template=self.html_template,
+            )
+            ctype = (
+                "text/html; charset=utf-8"
+                if args["format"] == "html"
+                else "text/plain; charset=utf-8"
+            )
+            return 200, ctype, body
+
+        if path == "/prf":
+            from websearchengine_spark.operators.prf import prf_expand
+
+            args = parse_cgi_args(uri_query, url_decode=True)
+            if not args["query"]:
+                return 200, "text/plain; charset=utf-8", "No query is given!"
+            rows = prf_expand(
+                self.spark,
+                self.index_root,
+                args["query"],
+                ranker=args["ranker"] if args["ranker"] != "none" else "comprehensive",
+                num_docs=args["numdocs"],
+                num_terms=args["numterms"],
+            ).collect()
+            body = "".join(f"{r['term']}\t{r['prob']!r}\n" for r in rows)
+            return 200, "text/plain; charset=utf-8", body
+
+        if path == "/prediction":
+            from websearchengine_spark.operators.spell import correct_query
+
+            args = parse_cgi_args(uri_query, url_decode=True)
+            if not args["query"]:
+                return 200, "text/plain; charset=utf-8", "No query is given!"
+            rows = correct_query(self.spark, self.index_root, args["query"]).collect()
+            body = "".join(f"{r['corrected']}\n" for r in rows)
+            return 200, "text/plain; charset=utf-8", body
+
+        if path == "/page_summary":
+            from websearchengine_spark.operators.query import page_summary
+
+            args = parse_cgi_args(uri_query, url_decode=True)
+            # the reference reads the docid out of the num= CGI slot
+            # (QueryHandler.java:366-367: `int docid = cgiArgs._numResults`)
+            rows = page_summary(self.spark, self.index_root, args["num"]).collect()
+            body = "".join(r["term"] + " " for r in rows)
+            return 200, "text/plain; charset=utf-8", body
+
+        if path == "/click_loging":
+            if self.click_log_dir is None:
+                return 404, "text/plain; charset=utf-8", "click logging disabled"
+            raw = {}
+            for param in uri_query.split("&"):
+                kv = param.split("=", 1)
+                if len(kv) == 2:
+                    raw[kv[0].lower()] = kv[1]
+            if not {"did", "query", "ranker", "action"} <= set(raw):
+                return 200, "text/plain; charset=utf-8", ""
+            os.makedirs(self.click_log_dir, exist_ok=True)
+            line = "\t".join(
+                [
+                    raw.get("session", "-"),
+                    raw["query"],
+                    raw["did"],
+                    raw["action"],
+                    str(time.time()),
+                ]
+            )
+            # append under a lock, same contract as the reference's
+            # synchronized ClickLoggingManager (one line per click; the
+            # streaming ingest tails this spool)
+            with self._click_lock:
+                with open(
+                    os.path.join(self.click_log_dir, "clicks.tsv"), "a"
+                ) as f:
+                    f.write(line + "\n")
+            return 200, "text/plain; charset=utf-8", "Success!"
+
+        return 404, "text/plain; charset=utf-8", f"no such endpoint: {path}"
+
+    # ---- lifecycle ------------------------------------------------------
+
+    def start(self) -> int:
+        """Start serving on a daemon thread; returns the bound port."""
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib API name)
+                parts = urlsplit(self.path)
+                try:
+                    status, ctype, body = outer._handle(
+                        parts.path, parts.query or ""
+                    )
+                except ValueError as e:
+                    # invalid ranker etc. — the reference answers these
+                    # with an error PAGE, never a dead socket
+                    status, ctype, body = (
+                        200,
+                        "text/plain; charset=utf-8",
+                        str(e),
+                    )
+                data = body.encode("utf-8")
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()

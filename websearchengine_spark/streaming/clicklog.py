@@ -241,3 +241,289 @@ def history_suggestions(clicks: DataFrame, query: str, top_n: int = 10) -> DataF
         .orderBy(F.desc("n"), F.asc("query"))
         .limit(top_n)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental suggestion count tables (round-4): the reference maintains
+# sqljet ``querycount``/``paircount`` tables updated per click
+# (LogDBManager.java:18-48), so suggestion serving reads pre-aggregated
+# counts.  pmi_suggestions/history_suggestions above recompute from the
+# raw log per call — correct, but at a 10^10-click log every suggestion
+# re-scans history.  This sink maintains the same two tables as
+# LSM-style count deltas:
+#
+#     root/
+#       _suggest.json            catalog (applied batches, carry pointer,
+#                                delta lists, generation)
+#       querycount/delta-<id>/   per-batch (query, n) partial counts
+#       paircount/delta-<id>/    per-batch (q1, q2, n) partial counts
+#       querycount/base-<g>/     compaction products
+#       carry/batch-<id>/        last event per LIVE session (bounded
+#                                cross-batch adjacency state)
+#
+# Counts are ADDITIVE, so per-batch deltas + a sum-on-read (and periodic
+# compaction folding deltas into a base) reproduce the exact batch
+# aggregation; session adjacency across micro-batch boundaries is
+# preserved by carrying each session's last event forward (pruned once
+# older than the session gap — state is O(live sessions), not O(log)).
+# Batch application is idempotent by batch_id (same exactly-once
+# contract as streaming/ingest.py).
+# ---------------------------------------------------------------------------
+
+SUGGEST_CATALOG = "_suggest.json"
+
+
+def _suggest_cat_path(root: str) -> str:
+    import os
+
+    return os.path.join(root, SUGGEST_CATALOG)
+
+
+def read_suggest_catalog(root: str) -> dict:
+    import json
+    import os
+
+    p = _suggest_cat_path(root)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {
+        "generation": 0,
+        "applied_batches": [],
+        "querycount": [],   # delta/base dir names under querycount/
+        "paircount": [],
+        "carry": None,      # dir name under carry/ (latest) or None
+        "lineage": [],
+    }
+
+
+def _write_suggest_catalog(root: str, cat: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    tmp = _suggest_cat_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cat, f, indent=2, sort_keys=True)
+    os.replace(tmp, _suggest_cat_path(root))  # atomic publish
+
+
+def apply_suggestion_batch(
+    spark: SparkSession,
+    clicks: DataFrame,
+    batch_id: int,
+    root: str,
+    gap_sec: int = SESSION_WINDOW_SEC,
+) -> None:
+    """Idempotently fold one micro-batch of clicks into the count tables.
+
+    querycount delta = the batch's per-query counts; paircount delta =
+    session-adjacent pairs over (carry ∪ batch) — the carry rows close
+    pairs that straddle the batch boundary, then the new carry keeps
+    each session's LAST event, pruned below (max ts - gap_sec) since an
+    older event can never pair with a future one."""
+    import os
+    import time as _time
+
+    cat = read_suggest_catalog(root)
+    if batch_id in cat["applied_batches"]:
+        return
+    ev = clicks.select("session_id", "query", "ts")
+    if ev.isEmpty():
+        cat["applied_batches"].append(batch_id)
+        cat["lineage"].append(
+            {"event": "empty_batch", "batch_id": batch_id, "ts": _time.time()}
+        )
+        _write_suggest_catalog(root, cat)
+        return
+
+    qc = ev.groupBy("query").agg(F.count("*").alias("n"))
+    qc_dir = f"delta-{batch_id:09d}"
+    qc.write.mode("overwrite").parquet(os.path.join(root, "querycount", qc_dir))
+
+    carry = None
+    if cat["carry"] is not None:
+        carry = spark.read.parquet(os.path.join(root, "carry", cat["carry"]))
+    union = ev if carry is None else carry.unionByName(ev)
+    pairs = session_query_pairs(union)
+    pc = pairs.groupBy("q1", "q2").agg(F.count("*").alias("n"))
+    pc_dir = f"delta-{batch_id:09d}"
+    pc.write.mode("overwrite").parquet(os.path.join(root, "paircount", pc_dir))
+
+    w = Window.partitionBy("session_id").orderBy(F.desc("ts"))
+    horizon = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0] - gap_sec
+    new_carry = (
+        union.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .filter(F.unix_timestamp("ts") >= F.lit(horizon))
+    )
+    carry_dir = f"batch-{batch_id:09d}"
+    new_carry.write.mode("overwrite").parquet(
+        os.path.join(root, "carry", carry_dir)
+    )
+
+    cat = read_suggest_catalog(root)
+    if batch_id in cat["applied_batches"]:
+        return
+    old_carry = cat["carry"]
+    cat["querycount"].append(qc_dir)
+    cat["paircount"].append(pc_dir)
+    cat["carry"] = carry_dir
+    cat["applied_batches"].append(batch_id)
+    cat["lineage"].append(
+        {"event": "counts_applied", "batch_id": batch_id, "ts": _time.time()}
+    )
+    _write_suggest_catalog(root, cat)
+    if old_carry is not None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(root, "carry", old_carry), ignore_errors=True
+        )
+
+
+def start_suggestion_counts(
+    spark: SparkSession,
+    source_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    compact_every: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Attach the incremental count-table sink to the click stream
+    (LogDBManager semantics as a streaming aggregation).  Returns the
+    StreamingQuery.  ``compact_every=L``: fold the deltas into a new
+    base whenever either table accumulates L of them."""
+    reader = spark.readStream.schema(CLICK_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.json(source_dir)
+
+    def sink(batch_df, batch_id):
+        apply_suggestion_batch(spark, batch_df, batch_id, root)
+        if compact_every and (
+            len(read_suggest_catalog(root)["querycount"]) >= compact_every
+        ):
+            compact_suggestion_counts(spark, root)
+
+    writer = src.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def _read_counts(spark, root: str, table: str, key_cols: list[str]) -> DataFrame:
+    import os
+
+    cat = read_suggest_catalog(root)
+    dirs = cat[table]
+    if not dirs:
+        return spark.createDataFrame(
+            [], ", ".join(f"{c} string" for c in key_cols) + ", n long"
+        )
+    paths = [os.path.join(root, table, d) for d in dirs]
+    return (
+        spark.read.parquet(*paths)
+        .groupBy(*key_cols)
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def read_query_counts(spark: SparkSession, root: str) -> DataFrame:
+    """The live ``querycount`` table: (query, n) summed over base+deltas
+    — rows are pre-aggregated counts, never raw clicks."""
+    return _read_counts(spark, root, "querycount", ["query"])
+
+
+def read_pair_counts(spark: SparkSession, root: str) -> DataFrame:
+    """The live ``paircount`` table: (q1, q2, n)."""
+    return _read_counts(spark, root, "paircount", ["q1", "q2"])
+
+
+def compact_suggestion_counts(spark: SparkSession, root: str) -> None:
+    """Fold each table's deltas into a single base (counts are additive:
+    one groupBy-sum per table), swap the catalog atomically, gc the
+    consumed dirs."""
+    import os
+    import shutil
+    import time as _time
+
+    cat = read_suggest_catalog(root)
+    gen = int(cat["generation"]) + 1
+    consumed = {t: list(cat[t]) for t in ("querycount", "paircount")}
+    new_dirs = {}
+    for table, keys in (("querycount", ["query"]), ("paircount", ["q1", "q2"])):
+        if not consumed[table]:
+            new_dirs[table] = []
+            continue
+        base = f"base-{gen:04d}"
+        folded = (
+            spark.read.parquet(
+                *[os.path.join(root, table, d) for d in consumed[table]]
+            )
+            .groupBy(*keys)
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        folded.write.mode("overwrite").parquet(os.path.join(root, table, base))
+        new_dirs[table] = [base]
+
+    cat = read_suggest_catalog(root)
+    for table in ("querycount", "paircount"):
+        appended = [d for d in cat[table] if d not in consumed[table]]
+        cat[table] = new_dirs[table] + appended
+    cat["generation"] = gen
+    cat["lineage"].append(
+        {"event": "compacted", "generation": gen, "ts": _time.time()}
+    )
+    _write_suggest_catalog(root, cat)
+    for table in ("querycount", "paircount"):
+        for d in consumed[table]:
+            shutil.rmtree(os.path.join(root, table, d), ignore_errors=True)
+
+
+def pmi_suggestions_from_counts(
+    query_counts: DataFrame, pair_counts: DataFrame, top_n: int = 3
+) -> DataFrame:
+    """pmi_suggestions computed from the PRE-AGGREGATED tables — same
+    formula and output as pmi_suggestions(raw_clicks), but the inputs
+    are O(vocabulary of queries) rows instead of O(clicks)."""
+    freq = query_counts.select("query", F.col("n").alias("f"))
+    pairs = pair_counts.select("q1", "q2", F.col("n").alias("f_pair"))
+    j = (
+        pairs.join(
+            freq.withColumnRenamed("query", "q1").withColumnRenamed("f", "f1"),
+            "q1",
+        )
+        .join(
+            freq.withColumnRenamed("query", "q2").withColumnRenamed("f", "f2"),
+            "q2",
+        )
+        .withColumn(
+            "pmi", F.log(F.col("f_pair") / (F.col("f1") * F.col("f2")) + 1.0)
+        )
+        .filter(F.col("pmi") > 0.0)
+    )
+    w = Window.partitionBy("q1").orderBy(F.desc("pmi"), F.asc("q2"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("q1", "q2", F.round("pmi", 9).alias("pmi"), "rn")
+    )
+
+
+def history_suggestions_from_counts(
+    query_counts: DataFrame, query: str, top_n: int = 10
+) -> DataFrame:
+    """history_suggestions served from ``querycount`` — the reference's
+    LogDBManager read path (counts, not raw log)."""
+    q = query.lower()
+    return (
+        query_counts.filter(F.lower(F.col("query")).contains(q))
+        .select("query", "n")
+        .orderBy(F.desc("n"), F.asc("query"))
+        .limit(top_n)
+    )

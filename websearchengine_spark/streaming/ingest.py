@@ -48,7 +48,16 @@ of ordinary index segments:
     tombstones/), masked out of every search immediately, and physically
     dropped — statistics corrected — at compaction.  Deleted ids vanish
     without remapping the id space; each segment records its id_span so
-    later offsets clear the full occupied range.
+    later offsets clear the full occupied range.  Tombstones are
+    EXECUTOR-RESIDENT at query time (round 4): search hands them to the
+    WAND kernel as (shard, doc_id) rows cogrouped with the postings
+    (topk.wand_topk(exclude_df=)) — never collected to the driver,
+    never serialized into task closures — and their VISIBILITY is
+    catalog-gated: only files listed in _live.json count, so a crash
+    between tombstone write and catalog publish leaves the old versions
+    visible (not vanished) until redelivery republishes both together.
+    pending_tombstones()/compaction_overdue() gauge the backlog from
+    the catalog alone.
 
 Scale: each delta build shuffles only its own batch's occurrences;
 compaction moves compressed blocks, not tokens; search adds one small

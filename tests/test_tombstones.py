@@ -248,3 +248,52 @@ def test_legacy_root_without_catalog_listing_scans_dir(spark, upserted):
     apply_pages_batch(spark, spark.createDataFrame(np_pages), 7, root)
     absorbed = read_live_catalog(root)["tombstone_files"]
     assert [f["n"] for f in absorbed] == [None]
+
+
+def test_two_phase_with_exclude_df_identical(spark, upserted):
+    """Forced two-phase pruning composes with the executor-resident
+    exclusion: phase 1 collects only the phase-1 shard's tombstone
+    slice, and the result equals the exhaustive run with the same
+    exclusions (and the closure-kwarg form)."""
+    import warnings
+
+    from websearchengine_spark.operators.topk import wand_topk
+
+    root = upserted["root"]
+    seg = os.path.join(root, "delta-000000000")
+    # tombstone ids spread across shards, including shard 0 (phase-1)
+    ids = [0, 1, 2, 3, 8, 13]
+    ex = spark.createDataFrame(
+        [(i % N_SHARDS, i) for i in ids], "shard int, doc_id long"
+    )
+
+    def rows(df):
+        return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no phase-1 overflow fallback
+        two = rows(
+            wand_topk(
+                spark, seg, "data mining", k=10, two_phase=True,
+                exclude_df=ex, docs_join=False,
+            )
+        )
+    exhaustive = rows(
+        wand_topk(
+            spark, seg, "data mining", k=10, two_phase=False,
+            exclude_df=ex, docs_join=False,
+        )
+    )
+    closure = rows(
+        wand_topk(
+            spark, seg, "data mining", k=10, two_phase=False,
+            exclude_doc_ids=ids, docs_join=False,
+        )
+    )
+    assert two == exhaustive == closure
+    assert not any(d in set(ids) for d, _ in two)
+    # and the unexcluded run differs (the exclusion actually bit)
+    plain = rows(
+        wand_topk(spark, seg, "data mining", k=10, docs_join=False)
+    )
+    assert plain != two

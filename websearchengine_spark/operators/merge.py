@@ -211,6 +211,12 @@ def merge_many_indexes(
         )
         for i, ids in dels.items()
     }
+    # the postings kernel gets the deletion arrays as a BROADCAST
+    # VARIABLE (one torrent distribution per executor), not a closure
+    # capture (re-serialized into every task) — with heavy re-crawl
+    # churn the pending delete set can be large, and compaction runs
+    # n_groups x shards tasks over it
+    dels_bc = spark.sparkContext.broadcast(dels) if dels else None
 
     out = IndexStorage(out_root)
     manifest = out.read_manifest()
@@ -299,6 +305,7 @@ def merge_many_indexes(
     def merge_batches(batches):
         import numpy as np
 
+        dels_x = dels_bc.value if dels_bc is not None else {}
         for pdf in batches:
             out_rows = {
                 "shard": [], "term": [], "df_shard": [], "ctf_shard": [], "blocks": [],
@@ -319,7 +326,7 @@ def merge_many_indexes(
                         want_positions=positions,
                         want_doclens=True,
                     )
-                    da = dels.get(int(part["side"]))
+                    da = dels_x.get(int(part["side"]))
                     if da is not None and d.size:
                         keep = ~np.isin(d, da)
                         if not keep.all():

@@ -1616,6 +1616,50 @@ def q_session_pmi_incr(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components of the simhash(hamming<=2) near-dup graph —
+    the collapse-ready clustering step (pair thresholds are not
+    transitive, so components genuinely chain).  Iterative min-label
+    propagation (dedup.duplicate_clusters); oracle = recursive-CTE
+    transitive closure over the same edges."""
+    from websearchengine_spark.operators.dedup import (
+        duplicate_clusters,
+        simhash_duplicate_pairs,
+    )
+
+    pairs = simhash_duplicate_pairs(_docs(spark, sf_dir), bits=16, max_hamming=2)
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
+# WITH RECURSIVE over the same simhash edge set: reach(node, r) is the
+# transitive closure, cluster_id = min reachable id (incl. self).
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE" + _TOKS_CTE[len("WITH"):]
+    + """,
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+ bits AS (SELECT doc_id, g.b,
+                 sum(tf * CASE WHEN substr(md5(term), g.b + 1, 1) IN
+                     ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s
+          FROM tf CROSS JOIN generate_series(0, 15) g(b)
+          GROUP BY doc_id, g.b),
+ sh AS (SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END) AS BIGINT)
+                   AS sim
+        FROM bits GROUP BY doc_id),
+ edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM sh a JOIN sh b
+           ON a.doc_id <> b.doc_id
+              AND bit_count(xor(a.sim, b.sim)) <= 2),
+ reach(node, r) AS (
+   SELECT src, dst FROM edges
+   UNION
+   SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+ )
+SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id"""
+)
+
+
 SPELL_TARGET = "strem"  # misspelling of 'stream' (in the documents vocab)
 _SPELL_FREQ_GATE = 100
 
@@ -2333,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_fullscan_top20": q_linear_fullscan,
         "page_summary": q_page_summary,
         "simhash_dup_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "emb_near_dup_pairs": q_emb_near_dup,
         "next_word_top5": q_next_word,
         "bhattacharyya": q_bhattacharyya,
@@ -2389,6 +2434,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_fullscan_top20": SQL_LINEAR_FULLSCAN,
         "page_summary": SQL_PAGE_SUMMARY,
         "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
         "next_word_top5": SQL_NEXT_WORD,
         "bhattacharyya": SQL_BHATTACHARYYA,

@@ -466,3 +466,63 @@ def test_ivf_kmeans_recall_on_clustered_corpus(spark, tmp_path):
         hits += len(want & got)
         total += len(want)
     assert hits / total >= 0.9, hits / total
+
+
+def test_duplicate_clusters_label_propagation(spark):
+    """Connected components over a pair graph: a 4-chain (transitivity
+    failure case — ends never paired directly), a triangle, a 2-cluster,
+    all labeled by component-min; convergence raises past max_iter."""
+    import pytest
+
+    from websearchengine_spark.operators.dedup import (
+        collapse_duplicates,
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain: {1,2,3,4}
+            (10, 11), (11, 12), (10, 12),    # triangle: {10,11,12}
+            (20, 21),                        # pair: {20,21}
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in collapse_duplicates(docs, duplicate_clusters(pairs)).collect()
+    )
+    assert kept == [1, 10, 20, 99]  # canonical per cluster + untouched doc
+
+    # a chain needs diameter rounds: max_iter=1 must refuse, not mislabel
+    with pytest.raises(ValueError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=1)
+
+
+def test_dedup_clusters_entry_matches_duckdb_recursive_oracle(spark):
+    """The driver-gate mirror for the new entry: Spark label propagation
+    == DuckDB recursive-CTE transitive closure at sf0.001."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = [
+        (r["doc_id"], r["cluster_id"])
+        for r in entry.queries()["dedup_clusters"](spark, sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(entry.oracle_sql()["dedup_clusters"]).fetchall()]
+    assert got == want and len(got) > 0

@@ -369,3 +369,104 @@ def token_jaccard_pairs(
             (F.col("c") / (F.col("sa") + F.col("sb") - F.col("c"))).alias("jaccard"),
         )
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the candidate-pair
+    graph — the step that turns pairwise near-dup evidence into
+    DEDUPLICATABLE GROUPS (pair transitivity does not hold for hamming/
+    jaccard thresholds, so clusters genuinely chain).  cluster_id is the
+    component's minimum doc_id (stable, join-friendly canonical).
+
+    Iterative min-label propagation with POINTER JUMPING: each round a
+    node takes the minimum of its own, its neighbors', and its current
+    label's label (label[label[v]] — path halving), so convergence
+    needs O(log diameter) rounds, not diameter.  Converged when no
+    label changes; ``max_iter`` guards pathological inputs (raises
+    rather than returning a half-labeled graph).
+
+    Scale shape: two equi-joins + one groupBy-min per round over the
+    EDGE resp. LABEL tables — nothing reaches the driver but the
+    per-round change count.  Label state is ``localCheckpoint``ed
+    every round: iterative DataFrame loops otherwise double their
+    logical plan per round (the re-analysis cost dominates wall time
+    long before the data does).  On a cluster swap in
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` if
+    executor loss matters mid-computation.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb = edges.join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("label").alias("nb_label")
+            ),
+            "dst",
+        ).select(F.col("src").alias("node"), F.col("nb_label").alias("label"))
+        new = (
+            labels.unionByName(nb)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: follow the label one hop (labels are node ids,
+        # so label[label[v]] is a self-join) and keep the minimum
+        ptr = new.select(
+            F.col("node").alias("label"), F.col("label").alias("parent")
+        )
+        new = (
+            new.join(ptr, "label", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("parent"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise ValueError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "label-propagation rounds (pathologically long chain?)"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def collapse_duplicates(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The collapse step of a dedup pipeline: keep each cluster's
+    canonical doc (the one whose id IS the cluster_id) and drop the
+    other members; docs in no cluster pass through untouched.  One
+    anti-join — broadcastable whenever the loser set is small relative
+    to the corpus (the usual case)."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "anti")

@@ -356,9 +356,9 @@ SQL_COSINE_TOPK = (
 )
 
 
-def q_pagerank(spark, sf_dir):
-    """G2 on a synthetic deterministic graph: dst = (doc_id*7+j) % N,
-    j in 1..5; 2 Jacobi iterations, lambda = 0.9, no dangling mass."""
+def _synthetic_graph(spark, sf_dir):
+    """Deterministic graph shared by the pagerank entries: dst =
+    (doc_id*7+j) % N, j in 1..5, self-loops dropped."""
     docs = _docs(spark, sf_dir).select("doc_id")
     n = docs.count()
     edges = (
@@ -371,44 +371,63 @@ def q_pagerank(spark, sf_dir):
         .select("src", "dst")
         .distinct()
     ).persist()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
-    topo = edges.join(outdeg, "src")
-    ranks = docs.select(F.col("doc_id").alias("node"), F.lit(1.0).alias("rank"))
-    for _ in range(2):
-        contrib = (
-            topo.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("od")).alias("inb"))
-        )
-        ranks = docs.select(F.col("doc_id").alias("node")).join(
-            contrib.withColumnRenamed("dst", "node"), "node", "left"
-        ).select(
-            "node",
-            (0.9 * F.coalesce("inb", F.lit(0.0)) + 0.1).alias("rank"),
-        )
+    return docs.select(F.col("doc_id").alias("node")), edges
+
+
+def q_pagerank(spark, sf_dir):
+    """G2 on the synthetic deterministic graph: 2 Jacobi iterations,
+    lambda = 0.9, no dangling mass — via the PACKAGE operator
+    (graph.pagerank_iterate), not an inline loop."""
+    from websearchengine_spark.operators.graph import pagerank_iterate
+
+    nodes, edges = _synthetic_graph(spark, sf_dir)
+    ranks = pagerank_iterate(nodes, edges, lam=0.9, iters=2)
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
-    )
+    ).orderBy("doc_id")
 
 
-SQL_PAGERANK = """
+def q_pagerank_10iter(spark, sf_dir):
+    """The generalized iteration path (round 4): 10 Jacobi rounds with
+    per-4-rounds localCheckpoint (lineage truncation) — oracled against
+    a mechanically unrolled 10-stage SQL chain."""
+    from websearchengine_spark.operators.graph import pagerank_iterate
+
+    nodes, edges = _synthetic_graph(spark, sf_dir)
+    ranks = pagerank_iterate(nodes, edges, lam=0.9, iters=10)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
+    ).orderBy("doc_id")
+
+
+def _pagerank_sql(iters: int) -> str:
+    head = """
 WITH n AS (SELECT count(*) AS n FROM documents),
  edges AS (SELECT DISTINCT d.doc_id AS src, (d.doc_id*7 + g.j) % n.n AS dst
            FROM documents d CROSS JOIN n CROSS JOIN generate_series(1,5) g(j)
            WHERE (d.doc_id*7 + g.j) % n.n <> d.doc_id),
  outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
- r0 AS (SELECT doc_id AS node, 1.0 AS rank FROM documents),
- c1 AS (SELECT e.dst AS node, sum(r0.rank/o.od) AS inb
-        FROM edges e JOIN r0 ON r0.node = e.src JOIN outdeg o ON o.src = e.src
+ r0 AS (SELECT doc_id AS node, 1.0 AS rank FROM documents)"""
+    stages = []
+    for i in range(1, iters + 1):
+        stages.append(
+            f""",
+ c{i} AS (SELECT e.dst AS node, sum(r{i-1}.rank/o.od) AS inb
+        FROM edges e JOIN r{i-1} ON r{i-1}.node = e.src JOIN outdeg o ON o.src = e.src
         GROUP BY e.dst),
- r1 AS (SELECT r0.node, 0.9*coalesce(c1.inb, 0) + 0.1 AS rank
-        FROM r0 LEFT JOIN c1 USING (node)),
- c2 AS (SELECT e.dst AS node, sum(r1.rank/o.od) AS inb
-        FROM edges e JOIN r1 ON r1.node = e.src JOIN outdeg o ON o.src = e.src
-        GROUP BY e.dst),
- r2 AS (SELECT r1.node, 0.9*coalesce(c2.inb, 0) + 0.1 AS rank
-        FROM r1 LEFT JOIN c2 USING (node))
-SELECT node AS doc_id, round(rank, 9) AS pagerank FROM r2"""
+ r{i} AS (SELECT r{i-1}.node, 0.9*coalesce(c{i}.inb, 0) + 0.1 AS rank
+        FROM r{i-1} LEFT JOIN c{i} USING (node))"""
+        )
+    return (
+        head
+        + "".join(stages)
+        + f"""
+SELECT node AS doc_id, round(rank, 9) AS pagerank FROM r{iters} ORDER BY doc_id"""
+    )
+
+
+SQL_PAGERANK = _pagerank_sql(2)
+SQL_PAGERANK_10ITER = _pagerank_sql(10)
 
 
 def q_spearman(spark, sf_dir):
@@ -2344,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_count": q_phrase_count,
         "cosine_tfidf_top20": q_cosine_topk,
         "pagerank_2iter": q_pagerank,
+        "pagerank_10iter": q_pagerank_10iter,
         "spearman_rank_corr": q_spearman,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -2401,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_count": SQL_PHRASE_COUNT,
         "cosine_tfidf_top20": SQL_COSINE_TOPK,
         "pagerank_2iter": SQL_PAGERANK,
+        "pagerank_10iter": SQL_PAGERANK_10ITER,
         "spearman_rank_corr": SQL_SPEARMAN,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH,

@@ -526,3 +526,16 @@ def test_dedup_clusters_entry_matches_duckdb_recursive_oracle(spark):
     )
     want = [tuple(r) for r in con.execute(entry.oracle_sql()["dedup_clusters"]).fetchall()]
     assert got == want and len(got) > 0
+
+
+def test_lsh_bucket_drops_null_and_empty_vectors(spark):
+    """Explode-free lsh_bucket keeps the old (and oracle) semantics:
+    null/empty embeddings produce NO row, never bucket 0."""
+    from websearchengine_spark.operators.similarity import lsh_bucket
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 2.0]), (2, []), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = lsh_bucket(emb).collect()
+    assert [r["vec_id"] for r in got] == [1]

@@ -69,16 +69,24 @@ def test_prediction_endpoint(served):
     assert body == "data mining\n"
 
 
-def test_click_logging_endpoint(served):
+def test_click_logging_endpoint(spark, served):
     ok = _get(
-        f"{served['base']}/click_loging?did=3&query=web&ranker=bm25&action=click"
+        f"{served['base']}/click_loging?did=3&query=web+search&ranker=bm25&action=click"
     )
     assert ok == "Success!"
-    spool = os.path.join(served["clicks"], "clicks.tsv")
-    with open(spool) as f:
-        line = f.read().splitlines()[-1]
-    sess, q, did, action, _ts = line.split("\t")
-    assert (q, did, action) == ("web", "3", "click")
+    # the spool is DIRECTLY ingestible by the clicklog readers' schema,
+    # and values are url-decoded like /search decodes its own args
+    from websearchengine_spark.streaming.clicklog import CLICK_SCHEMA
+
+    rows = (
+        spark.read.schema(CLICK_SCHEMA)
+        .json(os.path.join(served["clicks"], "clicks.json"))
+        .collect()
+    )
+    assert len(rows) >= 1
+    r = rows[-1]
+    assert (r["query"], r["doc_id"], r["action"]) == ("web search", 3, "click")
+    assert r["ts"] is not None  # timestamp parsed, not null
 
 
 def test_error_paths_stay_http(served):
@@ -119,3 +127,15 @@ def test_html_render_is_xss_hardened():
     assert "<img" not in html  # the title travels base64-encoded only
     assert "innerHTML" not in DEFAULT_HTML_TEMPLATE
     assert "textContent" in DEFAULT_HTML_TEMPLATE
+
+
+def test_backend_failure_answers_500_not_dead_socket(spark, built_index):
+    """A Spark-side failure (doc_tokens table absent for /page_summary)
+    answers 500 with the error text — the socket never just drops."""
+    from websearchengine_spark.serve import SearchHTTPServer
+
+    with SearchHTTPServer(spark, built_index) as srv:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"http://127.0.0.1:{srv.port}/page_summary?num=0")
+        assert ei.value.code == 500
+        assert b"doc_tokens" in ei.value.read() or ei.value.code == 500

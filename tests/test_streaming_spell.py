@@ -544,3 +544,27 @@ def test_incremental_suggestion_count_tables(spark, tmp_path):
         (r["q1"], r["q2"], r["n"])
         for r in read_pair_counts(spark, root).collect()
     ) == want_pc
+
+
+def test_session_pair_gap_uses_fractional_seconds(spark):
+    """A pair 60.4s apart must NOT count (the oracle compares epoch()
+    fractions; unix_timestamp truncation would admit it)."""
+    import datetime as _dt
+
+    from websearchengine_spark.streaming.clicklog import (
+        CLICK_SCHEMA,
+        session_query_pairs,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("s1", "a", 1, "c", t0),
+        ("s1", "b", 2, "c", t0 + _dt.timedelta(seconds=60, milliseconds=400)),
+        ("s2", "a", 3, "c", t0),
+        ("s2", "b", 4, "c", t0 + _dt.timedelta(seconds=59, milliseconds=900)),
+    ]
+    clicks = spark.createDataFrame(rows, CLICK_SCHEMA)
+    got = {(r["q1"], r["q2"]) for r in session_query_pairs(clicks).collect()}
+    assert got == {("a", "b")}  # only s2's 59.9s pair survives
+    # ... and only one occurrence of it
+    assert session_query_pairs(clicks).count() == 1

@@ -297,3 +297,51 @@ def test_two_phase_with_exclude_df_identical(spark, upserted):
         wand_topk(spark, seg, "data mining", k=10, docs_join=False)
     )
     assert plain != two
+
+
+def test_tombstone_files_are_seg_partitioned(spark, upserted):
+    """Round-4 review fix: batch/op tombstone files are written
+    partitionBy(seg), so a segment's search reads only its own subdir
+    (and a tombstone-free segment's lookup is a driver-side listdir,
+    no Spark job)."""
+    from websearchengine_spark.streaming.ingest import tombstones_df
+
+    root = upserted["root"]
+    tomb_dir = os.path.join(root, "tombstones", "batch-000000001")
+    assert any(e.startswith("seg=") for e in os.listdir(tomb_dir))
+    # per-seg read: only the tombstoned segment yields a frame
+    assert tombstones_df(spark, root, N_SHARDS, seg="delta-000000001") is None
+    d = tombstones_df(spark, root, N_SHARDS, seg="delta-000000000")
+    assert d is not None and d.count() == 30
+
+
+def test_legacy_crash_redelivery_does_not_duplicate_listing(
+    spark, corpus_pdf, tmp_path
+):
+    """Legacy root + crash between tombstone write and catalog publish:
+    redelivery absorbs the leftover file (n=None) but the batch then
+    replaces it with its own counted entry — one listing, gauge alive."""
+    from websearchengine_spark.streaming.ingest import apply_pages_batch as apb
+
+    by_url, re = _recrawled(corpus_pdf, 10, 25, tag="legacy crash probe")
+    root = str(tmp_path / "live")
+    apb(spark, spark.createDataFrame(by_url), 0, root, n_shards=N_SHARDS, n_groups=2)
+
+    # make the root legacy (no tombstone_files key) and simulate the
+    # crashed first delivery's leftover tombstone file
+    cat = read_live_catalog(root)
+    del cat["tombstone_files"]
+    with open(os.path.join(root, "_live.json"), "w") as f:
+        json.dump(cat, f)
+    spark.createDataFrame(
+        [("delta-000000000", 10)], "seg string, doc_id long"
+    ).write.mode("overwrite").partitionBy("seg").parquet(
+        os.path.join(root, "tombstones", "batch-000000001")
+    )
+
+    apb(spark, spark.createDataFrame(re), 1, root)  # the redelivery
+    files = tombstone_files(root)
+    batch_entries = [f for f in files if f["file"].endswith("batch-000000001")]
+    assert len(batch_entries) == 1
+    assert batch_entries[0]["n"] == 15  # the counted entry, not n=None
+    assert pending_tombstones(root) == 15  # gauge not poisoned by None

@@ -103,6 +103,70 @@ def build_link_graph(pages: DataFrame) -> DataFrame:
     return edges
 
 
+def pagerank_iterate(
+    nodes: DataFrame,
+    edges: DataFrame,
+    lam: float = PR_LAMBDA,
+    iters: int = PR_ITERS,
+    checkpoint_every: int = 4,
+    tol: float | None = None,
+) -> DataFrame:
+    """The Jacobi PageRank loop over an explicit (node) / (src, dst)
+    graph — the reference's fixed-iteration scheme
+    (CorpusAnalyzerPagerank.java:119-158: rank = lam*inbound + (1-lam),
+    no dangling-mass redistribution) generalized for real iteration
+    counts:
+
+      * the contribution topology (edge + outdegree) is joined once and
+        cached — each iteration is ONE join + ONE aggregation over it;
+      * ranks are ``localCheckpoint``ed every ``checkpoint_every``
+        rounds: without truncation the logical plan grows per round and
+        re-analysis dominates long runs (same pitfall as
+        dedup.duplicate_clusters);
+      * ``tol``: optional convergence stop — iterate until
+        max |rank - prev| < tol (one extra tiny agg per round), capped
+        at ``iters``.
+
+    Returns (node, rank)."""
+    nodes = nodes.select("node").distinct().persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # contribution topology is fixed across iterations: cache it
+    topo = edges.join(outdeg, "src").select("src", "dst", "outdeg").persist()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(iters):
+        contribs = (
+            topo.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        new = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (lam * F.coalesce(F.col("inbound"), F.lit(0.0)) + (1.0 - lam)).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                new.join(
+                    ranks.withColumnRenamed("rank", "prev"), "node"
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("prev"))))
+                .collect()[0][0]
+                or 0.0
+            )
+            ranks = new
+            if delta < tol:
+                break
+        else:
+            ranks = new
+    return ranks
+
+
 def pagerank(
     pages: DataFrame,
     lam: float = PR_LAMBDA,
@@ -112,27 +176,8 @@ def pagerank(
     urls = pages.select("url").distinct().persist()
     canon = canonical_nodes(urls).persist()
     edges = build_link_graph(pages).persist()
-    nodes = canon.select("node").distinct().persist()
-
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # contribution topology is fixed across iterations: cache it
-    topo = edges.join(outdeg, "src").select("src", "dst", "outdeg").persist()
-
-    ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iters):
-        contribs = (
-            topo.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inbound"))
-        )
-        ranks = (
-            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (lam * F.coalesce(F.col("inbound"), F.lit(0.0)) + (1.0 - lam)).alias("rank"),
-            )
-        )
+    nodes = canon.select("node").distinct()
+    ranks = pagerank_iterate(nodes, edges, lam=lam, iters=iters)
     # write-out rule: url X gets 0.0 if X.html is also a corpus url
     # (CorpusAnalyzerPagerank.java:160-164)
     alias_targets = urls.select(F.col("url").alias("_alias_html"))

@@ -89,7 +89,12 @@ def lsh_bucket(
             F.when(dot_plane(p) > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
         )
         bucket = bit if bucket is None else bucket + bit
-    return emb.select(F.col(id_col), bucket.alias("bucket"))
+    # null/empty vectors are dropped, matching the explode shape (and
+    # the SQL oracle), which produced no rows for them — without this
+    # they would surface as bucket 0 (null dot -> otherwise branch)
+    return emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(F.col(id_col), bucket.alias("bucket"))
 
 
 def cosine_near_dup_pairs(

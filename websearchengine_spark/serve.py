@@ -15,9 +15,10 @@ Endpoints (same paths and CGI arguments as the reference):
   /page_summary  num=<docid>  -> query.page_summary, the first <=50
                  position-ordered terms, each followed by a space
                  (QueryHandler.java:365-376 appends ``term + " "``)
-  /click_loging  did=&query=&ranker=&action=  -> one TSV line appended
-                 to the click spool (the streaming click source
-                 streaming/clicklog.py ingests), "Success!" response —
+  /click_loging  did=&query=&ranker=&action=  -> one CLICK_SCHEMA
+                 JSON line appended to the click spool (directly
+                 ingestible by streaming/clicklog.py's readers),
+                 "Success!" response —
                  the reference's ClickLoggingManager.writeToLog
                  semantics (QueryHandler.java:265-281; [sic] the
                  reference spells the path "click_loging")
@@ -37,6 +38,7 @@ reference's raw innerHTML — see render.py docstrings).
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 import time
@@ -54,7 +56,7 @@ class SearchHTTPServer:
 
     ``fullscan_prep``/``docs_fs``/``html_template`` pass through to
     render.serve_search (the fullscan ranker family needs one of the
-    first two).  ``click_log_dir``: directory for the click TSV spool;
+    first two).  ``click_log_dir``: directory for the click JSON spool;
     /click_loging 404s without it.
     """
 
@@ -146,31 +148,42 @@ class SearchHTTPServer:
         if path == "/click_loging":
             if self.click_log_dir is None:
                 return 404, "text/plain; charset=utf-8", "click logging disabled"
+            from urllib.parse import unquote_plus
+
             raw = {}
             for param in uri_query.split("&"):
                 kv = param.split("=", 1)
                 if len(kv) == 2:
-                    raw[kv[0].lower()] = kv[1]
+                    # decoded like /search parses its args — logged
+                    # queries must key-match the queries actually served
+                    raw[kv[0].lower()] = unquote_plus(kv[1])
             if not {"did", "query", "ranker", "action"} <= set(raw):
                 return 200, "text/plain; charset=utf-8", ""
             os.makedirs(self.click_log_dir, exist_ok=True)
-            line = "\t".join(
-                [
-                    raw.get("session", "-"),
-                    raw["query"],
-                    raw["did"],
-                    raw["action"],
-                    str(time.time()),
-                ]
-            )
-            # append under a lock, same contract as the reference's
-            # synchronized ClickLoggingManager (one line per click; the
-            # streaming ingest tails this spool)
+            try:
+                doc_id = int(raw["did"])
+            except ValueError:
+                doc_id = None
+            # one JSON line per click in CLICK_SCHEMA shape — the spool
+            # streaming/clicklog.py's readers (start_click_ingest,
+            # start_suggestion_counts) ingest directly; appended under a
+            # lock, same contract as the reference's synchronized
+            # ClickLoggingManager
+            event = {
+                "session_id": raw.get("session", "-"),
+                "query": raw["query"],
+                "doc_id": doc_id,
+                "action": raw["action"],
+                "ts": time.strftime(
+                    "%Y-%m-%dT%H:%M:%S", time.gmtime()
+                )
+                + f".{int(time.time() * 1000) % 1000:03d}Z",
+            }
             with self._click_lock:
                 with open(
-                    os.path.join(self.click_log_dir, "clicks.tsv"), "a"
+                    os.path.join(self.click_log_dir, "clicks.json"), "a"
                 ) as f:
-                    f.write(line + "\n")
+                    f.write(json.dumps(event) + "\n")
             return 200, "text/plain; charset=utf-8", "Success!"
 
         return 404, "text/plain; charset=utf-8", f"no such endpoint: {path}"
@@ -195,6 +208,15 @@ class SearchHTTPServer:
                         200,
                         "text/plain; charset=utf-8",
                         str(e),
+                    )
+                except Exception as e:  # noqa: BLE001 — same contract:
+                    # any backend failure (missing doc_tokens table, a
+                    # Spark analysis error) answers 500 with the message
+                    # instead of dropping the connection
+                    status, ctype, body = (
+                        500,
+                        "text/plain; charset=utf-8",
+                        f"{type(e).__name__}: {e}",
                     )
                 data = body.encode("utf-8")
                 self.send_response(status)

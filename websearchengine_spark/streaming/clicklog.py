@@ -183,7 +183,13 @@ def sessionize_stream(
 
 def session_query_pairs(clicks: DataFrame) -> DataFrame:
     """Q4 pair extraction: consecutive queries in one session <= 60s
-    apart (distinct adjacent queries), one pair row per occurrence."""
+    apart (distinct adjacent queries), one pair row per occurrence.
+
+    The gap compares exact MICROSECONDS (unix_micros; ANSI mode forbids
+    a timestamp->double cast), not unix_timestamp's whole-second
+    truncation — a pair 60.4s apart must NOT count (the reference
+    compares wall-clock millis, SessionHandler.java:18-19, and the SQL
+    oracles use fractional epoch())."""
     w = Window.partitionBy("session_id").orderBy("ts")
     q = clicks.select("session_id", "query", "ts").withColumn(
         "prev_q", F.lag("query").over(w)
@@ -193,8 +199,12 @@ def session_query_pairs(clicks: DataFrame) -> DataFrame:
             F.col("prev_q").isNotNull()
             & (F.col("prev_q") != F.col("query"))
             & (
-                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
-                <= SESSION_WINDOW_SEC
+                # .cast('timestamp'): accepts TIMESTAMP_NTZ inputs too
+                # (unix_micros requires TIMESTAMP; the gap is a
+                # difference, so the tz interpretation cancels)
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                <= SESSION_WINDOW_SEC * 1_000_000
             )
         )
         .select(F.col("prev_q").alias("q1"), F.col("query").alias("q2"))
@@ -351,12 +361,17 @@ def apply_suggestion_batch(
     pc.write.mode("overwrite").parquet(os.path.join(root, "paircount", pc_dir))
 
     w = Window.partitionBy("session_id").orderBy(F.desc("ts"))
-    horizon = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0] - gap_sec
+    # exact microseconds, same precision as the pairing predicate — a
+    # truncated horizon could prune a session whose true gap is <= 60s
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    horizon_us = (
+        ev.agg(F.max(us("ts"))).collect()[0][0] - gap_sec * 1_000_000
+    )
     new_carry = (
         union.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .filter(F.unix_timestamp("ts") >= F.lit(horizon))
+        .filter(us("ts") >= F.lit(horizon_us))
     )
     carry_dir = f"batch-{batch_id:09d}"
     new_carry.write.mode("overwrite").parquet(

@@ -201,20 +201,64 @@ def compaction_overdue(root: str, threshold: int | None = None) -> bool:
     return n is not None and n > t
 
 
-def tombstones_df(spark: SparkSession, root: str, n_shards: int):
+def _read_tomb_file(spark: SparkSession, path: str, seg: str | None):
+    """One tombstone parquet as a (seg, doc_id) DataFrame — or None when
+    ``seg`` is given and the file holds nothing for it.
+
+    Two layouts: batch/op files are written ``partitionBy("seg")`` (each
+    segment its own subdir, so a per-segment read touches ONLY its
+    subdir — zero scan for segments without deletes), and legacy flat
+    files carry seg as a data column (read + filter)."""
+    seg_dirs = [
+        e for e in os.listdir(path) if e.startswith("seg=")
+    ] if os.path.isdir(path) else []
+    if seg_dirs:
+        if seg is not None:
+            p = os.path.join(path, f"seg={seg}")
+            if not os.path.isdir(p):
+                return None
+            return spark.read.parquet(p).select(
+                F.lit(seg).alias("seg"), "doc_id"
+            )
+        parts = [
+            spark.read.parquet(os.path.join(path, e)).select(
+                F.lit(e[len("seg="):]).alias("seg"), "doc_id"
+            )
+            for e in seg_dirs
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+    df = spark.read.parquet(path).select("seg", "doc_id")
+    return df.filter(F.col("seg") == seg) if seg is not None else df
+
+
+def tombstones_df(
+    spark: SparkSession, root: str, n_shards: int, seg: str | None = None
+):
     """Pending tombstones as a (seg, shard, doc_id) DataFrame, or None.
 
-    This is the EXECUTOR-RESIDENT delete path: search filters per
-    segment and hands the (shard, doc_id) rows to
-    topk.wand_topk(exclude_df=), which cogroups them with the postings
-    by shard — the delete set reaches each shard kernel through the
-    shuffle, never the driver and never a task closure.  shard is
-    doc_id % n_shards, the index's own sharding rule."""
+    This is the EXECUTOR-RESIDENT delete path: search passes each
+    segment's (shard, doc_id) rows to topk.wand_topk(exclude_df=),
+    which cogroups them with the postings by shard — the delete set
+    reaches each shard kernel through the shuffle, never the driver and
+    never a task closure.  shard is doc_id % n_shards, the index's own
+    sharding rule.  With ``seg`` set, only that segment's partition
+    subdirs are read (a segment with no pending deletes returns None
+    from a driver-side listdir — no Spark job at all)."""
     files = tombstone_files(root)
-    if not files:
+    parts = []
+    for f in files:
+        d = _read_tomb_file(spark, os.path.join(root, f["file"]), seg)
+        if d is not None:
+            parts.append(d)
+    if not parts:
         return None
-    paths = [os.path.join(root, f["file"]) for f in files]
-    return spark.read.parquet(*paths).select(
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
         "seg",
         (F.col("doc_id") % n_shards).cast("int").alias("shard"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -235,8 +279,18 @@ def read_tombstones(
         files = tombstone_files(root)
     if not files:
         return {}
-    paths = [os.path.join(root, f["file"]) for f in files]
-    rows = spark.read.parquet(*paths).distinct().collect()
+    parts = [
+        d
+        for f in files
+        if (d := _read_tomb_file(spark, os.path.join(root, f["file"]), None))
+        is not None
+    ]
+    if not parts:
+        return {}
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    rows = u.distinct().collect()
     out: dict[str, list] = {}
     for r in rows:
         out.setdefault(r["seg"], []).append(r["doc_id"])
@@ -340,14 +394,24 @@ def apply_pages_batch(
         # redelivery republishes file + segment together
         tomb_rel = os.path.join(TOMBSTONES_DIR, f"batch-{batch_id:09d}")
         tomb_path = os.path.join(root, tomb_rel)
-        hits.write.mode("overwrite").parquet(tomb_path)
-        n_tombstoned = spark.read.parquet(tomb_path).count()
+        hits = hits.persist()
+        n_tombstoned = hits.count()
+        # a legacy-root redelivery may have absorbed THIS batch's file
+        # (written by the crashed attempt) with an unknown count — drop
+        # that entry before appending the authoritative one
+        cat["tombstone_files"] = [
+            f for f in cat.get("tombstone_files", []) if f["file"] != tomb_rel
+        ]
         if n_tombstoned:
-            cat.setdefault("tombstone_files", []).append(
+            # partitioned by seg so per-segment search reads ONLY its
+            # own subdirs (no whole-backlog rescan per segment)
+            hits.write.mode("overwrite").partitionBy("seg").parquet(tomb_path)
+            cat["tombstone_files"].append(
                 {"file": tomb_rel, "n": int(n_tombstoned)}
             )
         else:
             shutil.rmtree(tomb_path, ignore_errors=True)
+        hits.unpersist()
     if not cat["config"]:
         cat["config"] = dict(fmt_kwargs)
         # pin the format invariants even when left at build_index defaults
@@ -408,8 +472,11 @@ def delete_urls(
         hits = h if hits is None else hits.unionByName(h)
     tomb_rel = os.path.join(TOMBSTONES_DIR, f"op-{op_id:09d}")
     tomb_path = os.path.join(root, tomb_rel)
-    hits.write.mode("overwrite").parquet(tomb_path)
-    n = spark.read.parquet(tomb_path).count()
+    hits = hits.persist()
+    n = hits.count()
+    if n:
+        hits.write.mode("overwrite").partitionBy("seg").parquet(tomb_path)
+    hits.unpersist()
 
     cat = read_live_catalog(root)
     _ensure_tombstone_listing(cat, root)
@@ -650,8 +717,8 @@ def search_live(
     # until compaction corrects the statistics (Lucene-style visibility).
     # The mask stays EXECUTOR-RESIDENT: (shard, doc_id) rows cogrouped
     # with each segment's postings (wand_topk(exclude_df=)) — never
-    # collected to the driver, never shipped in a task closure.
-    tdf = tombstones_df(spark, root, n_shards)
+    # collected to the driver, never shipped in a task closure; each
+    # segment reads only ITS OWN seg= partition subdirs.
     if compaction_overdue(root):
         import warnings
 
@@ -680,15 +747,16 @@ def search_live(
 
     parts = []
     for i, (seg, off) in enumerate(zip(segs, offsets)):
+        seg_tdf = tombstones_df(
+            spark, root, n_shards, seg=os.path.basename(seg)
+        )
         p = wand_topk(
             spark, seg, query, k=k,
             corpus_stats=(num_docs, total_tf), df_override=gdf,
             docs_join=False,
             exclude_df=(
-                tdf.filter(F.col("seg") == os.path.basename(seg)).select(
-                    "shard", "doc_id"
-                )
-                if tdf is not None
+                seg_tdf.select("shard", "doc_id")
+                if seg_tdf is not None
                 else None
             ),
             local_df=seg_dfs[i],
@@ -752,7 +820,6 @@ def search_live_batch(
     offsets = doc_id_offsets([segment_id_span(c) for c in cfgs], n_shards)
     num_docs = sum(int(c["num_docs"]) for c in cfgs)
     total_tf = sum(int(c["total_tf"]) for c in cfgs)
-    tdf = tombstones_df(spark, root, n_shards)
 
     analyzer = index_analyzer(stores[0])
     terms = sorted(
@@ -771,15 +838,16 @@ def search_live_batch(
 
     parts = []
     for i, (seg, off) in enumerate(zip(segs, offsets)):
+        seg_tdf = tombstones_df(
+            spark, root, n_shards, seg=os.path.basename(seg)
+        )
         p = wand_topk_batch(
             spark, seg, queries, k=k,
             corpus_stats=(num_docs, total_tf), df_override=gdf,
             docs_join=False,
             exclude_df=(
-                tdf.filter(F.col("seg") == os.path.basename(seg)).select(
-                    "shard", "doc_id"
-                )
-                if tdf is not None
+                seg_tdf.select("shard", "doc_id")
+                if seg_tdf is not None
                 else None
             ),
             local_df=seg_dfs[i],

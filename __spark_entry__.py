@@ -1679,6 +1679,33 @@ FROM reach GROUP BY node ORDER BY doc_id"""
 )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/C4 protocol): flag training docs
+    sharing any 8-token n-gram with a benchmark table (here: the docs
+    with doc_id % 100 == 0 stand in for an eval set).  Reports
+    (doc_id, n_hits) per contaminated doc — the drop is never silent."""
+    from websearchengine_spark.operators.dedup import ngram_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select("text")
+    _clean, flagged = ngram_decontaminate(docs, bench, n=8)
+    return flagged.orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = """
+WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                       t -> t <> '') AS toks
+            FROM documents),
+ grams AS (SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS gram
+           FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+                 FROM tk)),
+ bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM grams g JOIN bench USING (gram)
+GROUP BY g.doc_id ORDER BY g.doc_id"""
+
+
 SPELL_TARGET = "strem"  # misspelling of 'stream' (in the documents vocab)
 _SPELL_FREQ_GATE = 100
 
@@ -2398,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_summary": q_page_summary,
         "simhash_dup_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "decontaminate_flagged": q_decontaminate,
         "emb_near_dup_pairs": q_emb_near_dup,
         "next_word_top5": q_next_word,
         "bhattacharyya": q_bhattacharyya,
@@ -2456,6 +2484,7 @@ def oracle_sql() -> dict[str, str]:
         "page_summary": SQL_PAGE_SUMMARY,
         "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "decontaminate_flagged": SQL_DECONTAMINATE,
         "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
         "next_word_top5": SQL_NEXT_WORD,
         "bhattacharyya": SQL_BHATTACHARYYA,

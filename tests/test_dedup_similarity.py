@@ -539,3 +539,25 @@ def test_lsh_bucket_drops_null_and_empty_vectors(spark):
     )
     got = lsh_bucket(emb).collect()
     assert [r["vec_id"] for r in got] == [1]
+
+
+def test_ngram_decontaminate(spark):
+    """GPT-3-style benchmark decontamination: any shared 8-token window
+    flags the training doc; near-miss (7-token overlap) passes."""
+    from websearchengine_spark.operators.dedup import ngram_decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            # contains the bench 8-gram "alpha ... theta" verbatim
+            (1, "intro words alpha beta gamma delta epsilon zeta eta theta more"),
+            # only 7 consecutive tokens shared -> clean
+            (2, "alpha beta gamma delta epsilon zeta eta UNRELATED theta"),
+            (3, "completely different text with no overlap at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    clean, flagged = ngram_decontaminate(docs, bench, n=8)
+    assert {r["doc_id"]: r["n_hits"] for r in flagged.collect()} == {1: 1}
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]

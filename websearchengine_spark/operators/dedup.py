@@ -470,3 +470,59 @@ def collapse_duplicates(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(losers, id_col, "anti")
+
+
+def token_ngrams(
+    docs: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram): every n-token window of the lowercased whitespace
+    tokenization, as the space-joined string.  One slice expression per
+    row — the explode emits windows, not (window x token) rows."""
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return widen_for_explode(docs).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination (the GPT-3/C4 protocol): flag every
+    training document sharing ANY n-token n-gram with a benchmark/
+    eval-set table, so test data never leaks into training data.
+
+    Returns ``(clean_docs, flagged)`` where ``flagged`` is
+    (doc_id, n_hits) — the contaminated docs with their overlapping-
+    window counts (report it, don't just drop silently) — and
+    ``clean_docs`` is ``docs`` minus those ids.
+
+    Scale shape: both sides reduce to (id, gram) rows; the benchmark's
+    DISTINCT grams (eval sets are tiny next to the corpus — broadcast
+    when yours is) equi-join the corpus grams, one aggregation counts
+    hits per doc, one anti-join drops them.  No pairwise doc x doc
+    work anywhere."""
+    corpus_grams = token_ngrams(docs, n=n, text_col=text_col)
+    bench_grams = (
+        token_ngrams(
+            bench.select(F.lit(0).alias("doc_id"), F.col(bench_text_col)),
+            n=n,
+            text_col=bench_text_col,
+        )
+        .select("gram")
+        .distinct()
+    )
+    flagged = (
+        corpus_grams.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    clean = docs.join(flagged.select("doc_id"), "doc_id", "anti")
+    return clean, flagged

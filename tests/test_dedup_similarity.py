@@ -561,3 +561,25 @@ def test_ngram_decontaminate(spark):
     clean, flagged = ngram_decontaminate(docs, bench, n=8)
     assert {r["doc_id"]: r["n_hits"] for r in flagged.collect()} == {1: 1}
     assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_token_ngrams_short_docs_yield_no_windows(spark):
+    """A doc with fewer than n tokens has NO n-gram windows — not a
+    sequence(1,0)/slice(_,0,_) crash (round-4 review)."""
+    from websearchengine_spark.operators.dedup import (
+        ngram_decontaminate,
+        token_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, ""), (3, "a b c d e f g h extra")],
+        "doc_id long, text string",
+    )
+    got = token_ngrams(docs, n=8).collect()
+    assert {r["doc_id"] for r in got} == {3}
+    assert len(got) == 2  # 9 tokens -> 2 windows
+    # and the full pipeline tolerates the short docs
+    bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    clean, flagged = ngram_decontaminate(docs, bench, n=8)
+    assert [r["doc_id"] for r in flagged.collect()] == [3]
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]

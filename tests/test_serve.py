@@ -138,4 +138,4 @@ def test_backend_failure_answers_500_not_dead_socket(spark, built_index):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _get(f"http://127.0.0.1:{srv.port}/page_summary?num=0")
         assert ei.value.code == 500
-        assert b"doc_tokens" in ei.value.read() or ei.value.code == 500
+        assert b"doc_tokens" in ei.value.read()  # the error TEXT is served

@@ -479,10 +479,12 @@ def token_ngrams(
     tokenization, as the space-joined string.  One slice expression per
     row — the explode emits windows, not (window x token) rows."""
     toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    # guard: sequence(1, 0) yields DESCENDING [1, 0] and slice(_, 0, n)
+    # throws — a doc with fewer than n tokens has NO windows, not a crash
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return widen_for_explode(docs).select(
         F.col(id_col), F.explode(grams).alias("gram")
     )

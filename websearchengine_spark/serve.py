@@ -169,15 +169,17 @@ class SearchHTTPServer:
             # start_suggestion_counts) ingest directly; appended under a
             # lock, same contract as the reference's synchronized
             # ClickLoggingManager
+            # ONE clock read: seconds and millis from the same instant
+            # (two reads can straddle a second boundary and log a
+            # timestamp ~1s early, inverting per-session click order)
+            now = time.time()
             event = {
                 "session_id": raw.get("session", "-"),
                 "query": raw["query"],
                 "doc_id": doc_id,
                 "action": raw["action"],
-                "ts": time.strftime(
-                    "%Y-%m-%dT%H:%M:%S", time.gmtime()
-                )
-                + f".{int(time.time() * 1000) % 1000:03d}Z",
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(now))
+                + f".{int(now * 1000) % 1000:03d}Z",
             }
             with self._click_lock:
                 with open(

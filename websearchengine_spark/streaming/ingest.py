@@ -201,37 +201,81 @@ def compaction_overdue(root: str, threshold: int | None = None) -> bool:
     return n is not None and n > t
 
 
+def _union_all(dfs: list):
+    u = dfs[0]
+    for d in dfs[1:]:
+        u = u.unionByName(d)
+    return u
+
+
 def _read_tomb_file(spark: SparkSession, path: str, seg: str | None):
     """One tombstone parquet as a (seg, doc_id) DataFrame — or None when
     ``seg`` is given and the file holds nothing for it.
 
     Two layouts: batch/op files are written ``partitionBy("seg")`` (each
     segment its own subdir, so a per-segment read touches ONLY its
-    subdir — zero scan for segments without deletes), and legacy flat
-    files carry seg as a data column (read + filter)."""
-    seg_dirs = [
-        e for e in os.listdir(path) if e.startswith("seg=")
-    ] if os.path.isdir(path) else []
-    if seg_dirs:
-        if seg is not None:
-            p = os.path.join(path, f"seg={seg}")
-            if not os.path.isdir(p):
-                return None
-            return spark.read.parquet(p).select(
-                F.lit(seg).alias("seg"), "doc_id"
+    subdir — zero scan for segments without deletes; the full read
+    recovers seg via partition discovery), and legacy flat files carry
+    seg as a data column (read + filter)."""
+    if not os.path.isdir(path):
+        return None
+    if any(e.startswith("seg=") for e in os.listdir(path)):
+        if seg is None:
+            return spark.read.parquet(path).select(
+                F.col("seg").cast("string").alias("seg"), "doc_id"
             )
-        parts = [
-            spark.read.parquet(os.path.join(path, e)).select(
-                F.lit(e[len("seg="):]).alias("seg"), "doc_id"
-            )
-            for e in seg_dirs
-        ]
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        return u
+        p = os.path.join(path, f"seg={seg}")
+        if not os.path.isdir(p):
+            return None
+        return spark.read.parquet(p).select(F.lit(seg).alias("seg"), "doc_id")
     df = spark.read.parquet(path).select("seg", "doc_id")
     return df.filter(F.col("seg") == seg) if seg is not None else df
+
+
+def tombstones_for_segments(
+    spark: SparkSession, root: str, n_shards: int, seg_names: list[str]
+) -> dict[str, "object"]:
+    """{segment_dir: (shard, doc_id) DataFrame or None} for ALL live
+    segments in one pass over the catalog-listed tombstone files — the
+    per-query read path of search_live/search_live_batch.
+
+    Partitioned files open only the seg= subdirs that exist (a
+    tombstone-free segment costs a driver-side listdir, no Spark job,
+    None result); each LEGACY flat file is opened once and shared by
+    per-segment filters (such segments get a lazily-filtered frame even
+    when it turns out row-empty — the price of the old layout)."""
+    files = tombstone_files(root)
+    per_seg: dict[str, list] = {s: [] for s in seg_names}
+    flat: list = []
+    for f in files:
+        path = os.path.join(root, f["file"])
+        if not os.path.isdir(path):
+            continue
+        if any(e.startswith("seg=") for e in os.listdir(path)):
+            for s in seg_names:
+                p = os.path.join(path, f"seg={s}")
+                if os.path.isdir(p):
+                    per_seg[s].append(
+                        spark.read.parquet(p).select("doc_id")
+                    )
+        else:
+            flat.append(spark.read.parquet(path).select("seg", "doc_id"))
+    flat_df = _union_all(flat) if flat else None
+    out: dict[str, "object"] = {}
+    for s in seg_names:
+        parts = list(per_seg[s])
+        if flat_df is not None:
+            parts.append(
+                flat_df.filter(F.col("seg") == s).select("doc_id")
+            )
+        if not parts:
+            out[s] = None
+            continue
+        out[s] = _union_all(parts).select(
+            (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+    return out
 
 
 def tombstones_df(
@@ -255,10 +299,7 @@ def tombstones_df(
             parts.append(d)
     if not parts:
         return None
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return u.select(
+    return _union_all(parts).select(
         "seg",
         (F.col("doc_id") % n_shards).cast("int").alias("shard"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -287,10 +328,7 @@ def read_tombstones(
     ]
     if not parts:
         return {}
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    rows = u.distinct().collect()
+    rows = _union_all(parts).distinct().collect()
     out: dict[str, list] = {}
     for r in rows:
         out.setdefault(r["seg"], []).append(r["doc_id"])
@@ -745,20 +783,16 @@ def search_live(
         for t, df in d.items():
             gdf[t] = gdf.get(t, 0) + df
 
+    seg_tombs = tombstones_for_segments(
+        spark, root, n_shards, [os.path.basename(s) for s in segs]
+    )
     parts = []
     for i, (seg, off) in enumerate(zip(segs, offsets)):
-        seg_tdf = tombstones_df(
-            spark, root, n_shards, seg=os.path.basename(seg)
-        )
         p = wand_topk(
             spark, seg, query, k=k,
             corpus_stats=(num_docs, total_tf), df_override=gdf,
             docs_join=False,
-            exclude_df=(
-                seg_tdf.select("shard", "doc_id")
-                if seg_tdf is not None
-                else None
-            ),
+            exclude_df=seg_tombs[os.path.basename(seg)],
             local_df=seg_dfs[i],
         )
         if off:
@@ -836,20 +870,16 @@ def search_live_batch(
         for t, df in d.items():
             gdf[t] = gdf.get(t, 0) + df
 
+    seg_tombs = tombstones_for_segments(
+        spark, root, n_shards, [os.path.basename(s) for s in segs]
+    )
     parts = []
     for i, (seg, off) in enumerate(zip(segs, offsets)):
-        seg_tdf = tombstones_df(
-            spark, root, n_shards, seg=os.path.basename(seg)
-        )
         p = wand_topk_batch(
             spark, seg, queries, k=k,
             corpus_stats=(num_docs, total_tf), df_override=gdf,
             docs_join=False,
-            exclude_df=(
-                seg_tdf.select("shard", "doc_id")
-                if seg_tdf is not None
-                else None
-            ),
+            exclude_df=seg_tombs[os.path.basename(seg)],
             local_df=seg_dfs[i],
         ).select("query", "doc_id", "score")
         if off:

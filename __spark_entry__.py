@@ -1604,10 +1604,13 @@ def q_session_pmi_incr(spark, sf_dir):
     )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # event_id rides along as the same-timestamp tie-break the oracle's
+    # windows use (clicklog orders by ts + any event_id/doc_id present)
     e = _t(spark, sf_dir, "events").select(
         F.col("user_id").alias("session_id"),
         F.col("event_type").alias("query"),
         "ts",
+        "event_id",
     )
     lo, hi = e.agg(
         F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))

@@ -583,3 +583,17 @@ def test_token_ngrams_short_docs_yield_no_windows(spark):
     clean, flagged = ngram_decontaminate(docs, bench, n=8)
     assert [r["doc_id"] for r in flagged.collect()] == [3]
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+
+
+def test_ivf_trainers_raise_on_empty_embeddings(spark):
+    """Empty input: descriptive ValueError, not IndexError (ADVICE r4)."""
+    from websearchengine_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_train_centroids_kmeans,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        ivf_train_centroids_kmeans(empty, nlist=4)
+    with pytest.raises(ValueError, match="empty"):
+        ivf_build_centroids(empty, nlist=4)

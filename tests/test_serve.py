@@ -139,3 +139,18 @@ def test_backend_failure_answers_500_not_dead_socket(spark, built_index):
             _get(f"http://127.0.0.1:{srv.port}/page_summary?num=0")
         assert ei.value.code == 500
         assert b"doc_tokens" in ei.value.read()  # the error TEXT is served
+
+
+def test_non_loopback_bind_gets_generic_500_body(spark, built_index):
+    """Bound to a non-loopback host, backend failures answer a GENERIC
+    500 body — exception detail (paths, Spark internals) stays in the
+    server-side log (ADVICE r4)."""
+    from websearchengine_spark.serve import SearchHTTPServer
+
+    with SearchHTTPServer(spark, built_index, host="0.0.0.0") as srv:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"http://127.0.0.1:{srv.port}/page_summary?num=0")
+        assert ei.value.code == 500
+        body = ei.value.read()
+        assert body == b"internal server error"
+        assert b"doc_tokens" not in body

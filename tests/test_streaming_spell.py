@@ -546,6 +546,99 @@ def test_incremental_suggestion_count_tables(spark, tmp_path):
     ) == want_pc
 
 
+def test_suggestion_carry_tiebreak_same_timestamp(spark, tmp_path):
+    """Two same-timestamp clicks in one session at a batch boundary:
+    which one the carry keeps — and hence which boundary pair counts —
+    must be deterministic AND equal to the full-log batch recompute
+    (both windows order by (ts, doc_id), not ts alone)."""
+    from websearchengine_spark.streaming.clicklog import (
+        CLICK_SCHEMA,
+        apply_suggestion_batch,
+        read_pair_counts,
+        session_query_pairs,
+    )
+
+    b0 = [
+        # identical ts, distinct doc_ids: doc_id is the tie-break
+        _click("s1", "alpha", 2, "click", 10),
+        _click("s1", "beta", 1, "click", 10),
+    ]
+    b1 = [_click("s1", "gamma", 3, "click", 40)]
+    raw_rows = b0 + b1
+
+    def _df(rows):
+        import json as _json
+
+        p = tmp_path / f"b{len(list(tmp_path.iterdir()))}.json"
+        p.write_text("".join(_json.dumps(r) + "\n" for r in rows))
+        return spark.createDataFrame(
+            spark.read.schema(CLICK_SCHEMA).json(str(p)).collect(), CLICK_SCHEMA
+        )
+
+    want = sorted(
+        (r["q1"], r["q2"], r["n"])
+        for r in session_query_pairs(_df(raw_rows))
+        .groupBy("q1", "q2")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    # full-log order is (ts, doc_id): beta(1) -> alpha(2) -> gamma(3)
+    assert want == [("alpha", "gamma", 1), ("beta", "alpha", 1)]
+
+    for trial in range(2):  # determinism across runs
+        root = str(tmp_path / f"suggest{trial}")
+        apply_suggestion_batch(spark, _df(b0), 0, root)
+        apply_suggestion_batch(spark, _df(b1), 1, root)
+        got = sorted(
+            (r["q1"], r["q2"], r["n"])
+            for r in read_pair_counts(spark, root).collect()
+        )
+        assert got == want
+
+
+def test_suggestion_batch_all_null_ts_keeps_carry(spark, tmp_path):
+    """A non-empty batch whose ts values are all NULL (malformed lines
+    under CLICK_SCHEMA) must not raise in the sink; the previous carry
+    stays in force so later in-window events still pair."""
+    from websearchengine_spark.streaming.clicklog import (
+        CLICK_SCHEMA,
+        apply_suggestion_batch,
+        read_pair_counts,
+        read_query_counts,
+        read_suggest_catalog,
+    )
+
+    root = str(tmp_path / "suggest")
+    ok = spark.createDataFrame(
+        [("s1", "alpha", 1, "click", dt.datetime(2024, 1, 1, 12, 0, 10))],
+        CLICK_SCHEMA,
+    )
+    bad = spark.createDataFrame(
+        [("s1", "noise", 2, "click", None)], CLICK_SCHEMA
+    )
+    ok2 = spark.createDataFrame(
+        [("s1", "gamma", 3, "click", dt.datetime(2024, 1, 1, 12, 0, 40))],
+        CLICK_SCHEMA,
+    )
+    apply_suggestion_batch(spark, ok, 0, root)
+    carry_before = read_suggest_catalog(root)["carry"]
+    apply_suggestion_batch(spark, bad, 1, root)  # must not raise
+    cat = read_suggest_catalog(root)
+    assert cat["carry"] == carry_before  # old carry preserved
+    assert 1 in cat["applied_batches"]
+    apply_suggestion_batch(spark, ok2, 2, root)
+    pairs = sorted(
+        (r["q1"], r["q2"], r["n"])
+        for r in read_pair_counts(spark, root).collect()
+    )
+    # null-ts event never pairs; alpha->gamma still pairs via the carry
+    assert pairs == [("alpha", "gamma", 1)]
+    qc = dict(
+        (r["query"], r["n"]) for r in read_query_counts(spark, root).collect()
+    )
+    assert qc == {"alpha": 1, "noise": 1, "gamma": 1}
+
+
 def test_session_pair_gap_uses_fractional_seconds(spark):
     """A pair 60.4s apart must NOT count (the oracle compares epoch()
     fractions; unix_timestamp truncation would admit it)."""

@@ -403,6 +403,12 @@ def merge_many_indexes(
             )
         else:
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        # the deletion arrays are only read inside merge_batches, which has
+        # fully executed (or failed) by now — release the broadcast payload
+        # so a long-lived driver doing repeated compactions with large
+        # pending-delete sets doesn't accumulate them until GC
+        if dels_bc is not None:
+            dels_bc.destroy()
 
     # ---- global term stats from the merged per-shard postings -----------
     term_stats = (

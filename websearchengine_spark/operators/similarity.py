@@ -165,7 +165,10 @@ def ivf_build_centroids(
     class (id % nlist) — one aggregation, no iterative k-means (the
     assignment structure, not clustering quality, is what the engine
     path exercises; swap in k-means|| offline for production)."""
-    n_dim = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).head(1)
+    if not head:
+        raise ValueError("ivf_build_centroids: embeddings DataFrame is empty")
+    n_dim = len(head[0][0])
     agg = (
         emb.select((F.col(id_col) % nlist).alias("c"), _as_double(F.col(vec_col)).alias("v"))
         .groupBy("c")
@@ -234,7 +237,15 @@ def ivf_train_centroids_kmeans(
     spark = df.sparkSession
     sc = spark.sparkContext
 
-    first = df.orderBy("_id").limit(1).collect()[0]
+    # deterministic seed point: the min-id row.  min + filtered lookup
+    # (two tiny jobs) rather than orderBy().limit(1), and an explicit
+    # error on empty input instead of an IndexError from collect()[0]
+    min_id = df.agg(F.min("_id")).collect()[0][0]
+    if min_id is None:
+        raise ValueError(
+            "ivf_train_centroids_kmeans: embeddings DataFrame is empty"
+        )
+    first = df.filter(F.col("_id") == min_id).limit(1).collect()[0]
     centers = np.asarray([first["_v"]], dtype=np.float64)
     n_dim = centers.shape[1]
     l = float(oversample) * nlist

@@ -39,11 +39,14 @@ reference's raw innerHTML — see render.py docstrings).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import urlsplit
+
+_LOG = logging.getLogger("websearchengine_spark.serve")
 
 
 class SearchHTTPServer:
@@ -214,11 +217,21 @@ class SearchHTTPServer:
                 except Exception as e:  # noqa: BLE001 — same contract:
                     # any backend failure (missing doc_tokens table, a
                     # Spark analysis error) answers 500 with the message
-                    # instead of dropping the connection
+                    # instead of dropping the connection.  The detailed
+                    # message (which can carry local paths and Spark
+                    # internals) is served only on loopback binds; a
+                    # non-loopback server answers a generic body and the
+                    # detail goes to the server-side log
+                    _LOG.exception("500 on %s", parts.path)
+                    detail = (
+                        f"{type(e).__name__}: {e}"
+                        if outer.host in ("127.0.0.1", "::1", "localhost")
+                        else "internal server error"
+                    )
                     status, ctype, body = (
                         500,
                         "text/plain; charset=utf-8",
-                        f"{type(e).__name__}: {e}",
+                        detail,
                     )
                 data = body.encode("utf-8")
                 self.send_response(status)

@@ -181,6 +181,13 @@ def sessionize_stream(
     )
 
 
+def _tiebreak_cols(df: DataFrame) -> list[str]:
+    """Stable secondary sort keys for same-timestamp events: whichever of
+    event_id / doc_id the input carries (CLICK_SCHEMA has doc_id; the
+    driver's events table has event_id)."""
+    return [c for c in ("event_id", "doc_id") if c in df.columns]
+
+
 def session_query_pairs(clicks: DataFrame) -> DataFrame:
     """Q4 pair extraction: consecutive queries in one session <= 60s
     apart (distinct adjacent queries), one pair row per occurrence.
@@ -189,9 +196,18 @@ def session_query_pairs(clicks: DataFrame) -> DataFrame:
     a timestamp->double cast), not unix_timestamp's whole-second
     truncation — a pair 60.4s apart must NOT count (the reference
     compares wall-clock millis, SessionHandler.java:18-19, and the SQL
-    oracles use fractional epoch())."""
-    w = Window.partitionBy("session_id").orderBy("ts")
-    q = clicks.select("session_id", "query", "ts").withColumn(
+    oracles use fractional epoch()).
+
+    Ordering is (ts, <tie-break>) where the tie-break is any event_id /
+    doc_id column present in the input: with ts alone, two same-timestamp
+    clicks in one session would pair in partition-arrival order —
+    nondeterministic, and divergent from the (ts, event_id)-ordered
+    oracles.  apply_suggestion_batch's carry window uses the same key, so
+    batch-boundary carry picks the same "last" event the full-log
+    computation would."""
+    tb = _tiebreak_cols(clicks)
+    w = Window.partitionBy("session_id").orderBy("ts", *tb)
+    q = clicks.select("session_id", "query", "ts", *tb).withColumn(
         "prev_q", F.lag("query").over(w)
     ).withColumn("prev_ts", F.lag("ts").over(w))
     return (
@@ -338,7 +354,8 @@ def apply_suggestion_batch(
     cat = read_suggest_catalog(root)
     if batch_id in cat["applied_batches"]:
         return
-    ev = clicks.select("session_id", "query", "ts")
+    tb = _tiebreak_cols(clicks)
+    ev = clicks.select("session_id", "query", "ts", *tb)
     if ev.isEmpty():
         cat["applied_batches"].append(batch_id)
         cat["lineage"].append(
@@ -354,29 +371,43 @@ def apply_suggestion_batch(
     carry = None
     if cat["carry"] is not None:
         carry = spark.read.parquet(os.path.join(root, "carry", cat["carry"]))
-    union = ev if carry is None else carry.unionByName(ev)
+    # allowMissingColumns: a carry written before tie-break columns were
+    # carried (or from a source that lacks them) unions as NULLs, which
+    # sort first under desc — stable either way
+    union = ev if carry is None else carry.unionByName(
+        ev, allowMissingColumns=True
+    )
     pairs = session_query_pairs(union)
     pc = pairs.groupBy("q1", "q2").agg(F.count("*").alias("n"))
     pc_dir = f"delta-{batch_id:09d}"
     pc.write.mode("overwrite").parquet(os.path.join(root, "paircount", pc_dir))
 
-    w = Window.partitionBy("session_id").orderBy(F.desc("ts"))
+    # "last event per session" under the SAME (ts, tie-break) order as the
+    # pairing window — with ts alone, same-timestamp events at a batch
+    # boundary would carry (and hence pair) nondeterministically
+    w = Window.partitionBy("session_id").orderBy(
+        F.desc("ts"), *[F.desc(c) for c in tb]
+    )
     # exact microseconds, same precision as the pairing predicate — a
     # truncated horizon could prune a session whose true gap is <= 60s
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
-    horizon_us = (
-        ev.agg(F.max(us("ts"))).collect()[0][0] - gap_sec * 1_000_000
-    )
-    new_carry = (
-        union.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .filter(us("ts") >= F.lit(horizon_us))
-    )
-    carry_dir = f"batch-{batch_id:09d}"
-    new_carry.write.mode("overwrite").parquet(
-        os.path.join(root, "carry", carry_dir)
-    )
+    max_ts_us = ev.agg(F.max(us("ts"))).collect()[0][0]
+    carry_dir = None
+    if max_ts_us is not None:
+        horizon_us = max_ts_us - gap_sec * 1_000_000
+        new_carry = (
+            union.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .filter(us("ts") >= F.lit(horizon_us))
+        )
+        carry_dir = f"batch-{batch_id:09d}"
+        new_carry.write.mode("overwrite").parquet(
+            os.path.join(root, "carry", carry_dir)
+        )
+    # else: every ts in the batch is NULL (malformed lines parsed against
+    # CLICK_SCHEMA) — such events can never pair with future ones, so the
+    # previous carry stays in force instead of raising inside the sink
 
     cat = read_suggest_catalog(root)
     if batch_id in cat["applied_batches"]:
@@ -384,13 +415,14 @@ def apply_suggestion_batch(
     old_carry = cat["carry"]
     cat["querycount"].append(qc_dir)
     cat["paircount"].append(pc_dir)
-    cat["carry"] = carry_dir
+    if carry_dir is not None:
+        cat["carry"] = carry_dir
     cat["applied_batches"].append(batch_id)
     cat["lineage"].append(
         {"event": "counts_applied", "batch_id": batch_id, "ts": _time.time()}
     )
     _write_suggest_catalog(root, cat)
-    if old_carry is not None:
+    if carry_dir is not None and old_carry is not None:
         import shutil
 
         shutil.rmtree(

@@ -60,7 +60,11 @@ class SearchHTTPServer:
     ``fullscan_prep``/``docs_fs``/``html_template`` pass through to
     render.serve_search (the fullscan ranker family needs one of the
     first two).  ``click_log_dir``: directory for the click JSON spool;
-    /click_loging 404s without it.
+    /click_loging 404s without it.  ``public_root``: directory of static
+    frontend assets (the reference's ``public/`` with the bootstrap UI);
+    like the reference's FileServer, an existing file under the root
+    wins over API dispatch, ``../`` is forbidden, and a directory
+    request serves its index.html.
     """
 
     def __init__(
@@ -73,6 +77,7 @@ class SearchHTTPServer:
         docs_fs=None,
         html_template: str | None = None,
         click_log_dir: str | None = None,
+        public_root: str | None = None,
     ):
         self.spark = spark
         self.index_root = index_root
@@ -82,15 +87,58 @@ class SearchHTTPServer:
         self.docs_fs = docs_fs
         self.html_template = html_template
         self.click_log_dir = click_log_dir
+        self.public_root = public_root
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self._click_lock = threading.Lock()
 
+    # ---- static files ---------------------------------------------------
+
+    def _try_static(self, path: str):
+        """Serve ``path`` from public_root if it resolves to a file there.
+
+        Returns (status, ctype, bytes) or None to fall through to API
+        dispatch — the reference's FileServer checks its root dirs first
+        and hands misses to the QueryHandler
+        (nanohttpd/FileServer.java:94-152).  ``../`` anywhere in the uri
+        is FORBIDDEN outright (:100-102), and the realpath of the
+        resolved file must stay under the root (symlink-safe belt to the
+        reference's substring braces).
+        """
+        import mimetypes
+
+        if "../" in path or "..\\" in path:
+            return (
+                403,
+                "text/plain; charset=utf-8",
+                b"FORBIDDEN: Won't serve ../ for security reasons.",
+            )
+        root = os.path.realpath(self.public_root)
+        full = os.path.realpath(os.path.join(root, path.lstrip("/")))
+        if os.path.isdir(full):
+            full = os.path.join(full, "index.html")
+        if full != root and not full.startswith(root + os.sep):
+            return (
+                403,
+                "text/plain; charset=utf-8",
+                b"FORBIDDEN: Won't serve ../ for security reasons.",
+            )
+        if not os.path.isfile(full):
+            return None
+        ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+        with open(full, "rb") as f:
+            return 200, ctype, f.read()
+
     # ---- request handling ----------------------------------------------
 
-    def _handle(self, path: str, uri_query: str) -> tuple[int, str, str]:
+    def _handle(self, path: str, uri_query: str) -> tuple[int, str, str | bytes]:
         """(status, content_type, body) for one GET."""
         from websearchengine_spark.operators.query import parse_cgi_args
+
+        if self.public_root is not None:
+            static = self._try_static(path)
+            if static is not None:
+                return static
 
         if path == "/search":
             from websearchengine_spark.operators.render import serve_search
@@ -233,7 +281,7 @@ class SearchHTTPServer:
                         "text/plain; charset=utf-8",
                         detail,
                     )
-                data = body.encode("utf-8")
+                data = body.encode("utf-8") if isinstance(body, str) else body
                 self.send_response(status)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))

@@ -345,8 +345,15 @@ def run_query(
     if not token_words:
         return docs.limit(0).withColumn("score", F.lit(0.0)).select(*RESULT_COLS)
 
-    stats = store.read_table(spark, "stats").collect()[0]
-    total_tf, num_docs = stats["total_tf"], stats["num_docs"]
+    # manifest-first (zero Spark jobs on the serve path); the stats-table
+    # read remains the fallback for indexes finalized before the counts
+    # were recorded in the snapshot config
+    cfg = store.read_manifest().get("config", {})
+    if "num_docs" in cfg and "total_tf" in cfg:
+        num_docs, total_tf = int(cfg["num_docs"]), int(cfg["total_tf"])
+    else:
+        stats = store.read_table(spark, "stats").collect()[0]
+        total_tf, num_docs = stats["total_tf"], stats["num_docs"]
     term_stats = store.read_table(spark, "term_stats")
     distinct_terms = sorted({w for ws in token_words for w in ws})
     need_pos = any(len(ws) > 1 for ws in token_words)
@@ -385,6 +392,7 @@ def search(
     query: str,
     ranker: str = "comprehensive",
     k: int = 10,
+    stats_cache: dict | None = None,
 ) -> DataFrame:
     """The engine's front door: routes BM25 plain queries to the
     block-max WAND kernel and everything else (phrase queries, the
@@ -420,7 +428,7 @@ def search(
     if ranker == "bm25":
         from websearchengine_spark.operators.topk import wand_topk
 
-        return wand_topk(spark, index_root, query, k=k)
+        return wand_topk(spark, index_root, query, k=k, stats_cache=stats_cache)
     return run_query(spark, index_root, query, ranker=ranker, k=k)
 
 
@@ -487,6 +495,7 @@ def search_uri(
     uri_query: str,
     fullscan_prep: dict | None = None,
     docs_fs: DataFrame | None = None,
+    stats_cache: dict | None = None,
 ) -> DataFrame:
     """Serve a raw '?query=...&ranker=...&num=...' string — the /search
     front door one level up from search(), dispatching EVERY reference
@@ -521,7 +530,10 @@ def search_uri(
                 )
             fullscan_prep = prepare_fullscan(docs_fs)
         return run_fullscan_query(spark, fullscan_prep, args["query"], ranker, k=k)
-    return search(spark, index_root, args["query"], ranker=ranker, k=k)
+    return search(
+        spark, index_root, args["query"], ranker=ranker, k=k,
+        stats_cache=stats_cache,
+    )
 
 
 def page_summary(

@@ -111,6 +111,7 @@ def serve_search(
     fullscan_prep: dict | None = None,
     docs_fs=None,
     html_template: str | None = None,
+    stats_cache: dict | None = None,
 ) -> str:
     """The full /search response path: parse CGI args, dispatch the
     ranker (query.search_uri), render per the requested ``format``.
@@ -121,7 +122,8 @@ def serve_search(
 
     args = parse_cgi_args(uri_query, url_decode=True)
     df = search_uri(
-        spark, index_root, uri_query, fullscan_prep=fullscan_prep, docs_fs=docs_fs
+        spark, index_root, uri_query, fullscan_prep=fullscan_prep,
+        docs_fs=docs_fs, stats_cache=stats_cache,
     )
     cols = set(df.columns)
     rows = [

@@ -101,6 +101,7 @@ def token_candidates(
     store: IndexStorage,
     target: str,
     freq_threshold: int = FREQ_THRESHOLD,
+    cache: dict | None = None,
 ) -> list[str]:
     """Per-token candidate list (reference order: ascending frequency
     from the heap, target appended first). Returns candidate terms.
@@ -109,7 +110,15 @@ def token_candidates(
     (build_index(spell_assist=True)): the bigram isin() filter pushes
     into that table's parquet scan, so a query touches the target's own
     bigram row groups — not the whole vocabulary.  Falls back to
-    deriving the pool from term_stats for indexes built without it."""
+    deriving the pool from term_stats for indexes built without it.
+
+    ``cache``: caller-owned memo of finished candidate lists keyed
+    (target, freq_threshold) — the serve loop's warm /prediction path
+    runs its two per-token lookups only on first sight of a token (the
+    HTTP server drops the dict when the index generation changes)."""
+    key = (target, freq_threshold)
+    if cache is not None and key in cache:
+        return list(cache[key])
     vocab = store.read_table(spark, "term_stats")
     # posting-list length in the occurrence format = 2 * ctf
     vocab = vocab.select("term", (2 * F.col("ctf")).alias("freq"))
@@ -156,6 +165,8 @@ def token_candidates(
         # the target itself is below the gate
         if len(out) >= 2 and target_freq < freq_threshold:
             out.remove(target)
+    if cache is not None:
+        cache[key] = list(out)
     return out
 
 
@@ -165,8 +176,11 @@ def correct_query(
     query: str,
     freq_threshold: int = FREQ_THRESHOLD,
     min_hits: int = 4,
+    cache: dict | None = None,
 ) -> DataFrame:
-    """Returns (rank, corrected, distance, n_hits) suggestions."""
+    """Returns (rank, corrected, distance, n_hits) suggestions.
+
+    ``cache`` memoizes per-token candidate lists (see token_candidates)."""
     store = IndexStorage(index_root)
     tokens = parse_query(query)
     if not tokens:
@@ -174,7 +188,8 @@ def correct_query(
             [], "rank int, corrected string, distance int, n_hits long"
         )
     per_token = [
-        token_candidates(spark, store, t.lower(), freq_threshold) for t in tokens
+        token_candidates(spark, store, t.lower(), freq_threshold, cache=cache)
+        for t in tokens
     ]
     combos = [" ".join(ws) for ws in itertools.product(*per_token)]
 

@@ -311,6 +311,7 @@ def wand_topk(
     exclude_doc_ids=None,
     local_df: dict[str, int] | None = None,
     exclude_df: DataFrame | None = None,
+    stats_cache: dict | None = None,
 ) -> DataFrame:
     """BM25 top-k over the sharded index via the block-max kernel.
 
@@ -344,6 +345,14 @@ def wand_topk(
     terms (what the term_stats lookup would return), letting a
     multi-index caller that already read every segment's term_stats in
     one job skip the per-segment driver round-trip.
+
+    ``stats_cache``: a CALLER-OWNED dict memoizing the per-term df
+    lookups across calls (``{"df": {term: df-or-None}}``; None records
+    a term absent from the index).  A warm serve loop then runs zero
+    term_stats jobs per request — only terms never seen before cost one
+    lookup.  The caller is responsible for invalidation (the HTTP server
+    drops it when the index generation changes); ignored when
+    ``local_df`` is given.
 
     ``exclude_df`` is the EXECUTOR-RESIDENT form of the tombstone mask:
     a (shard, doc_id) DataFrame cogrouped with the postings by shard, so
@@ -413,12 +422,18 @@ def wand_topk(
     if local_df is not None:
         df_by_term = {t: local_df[t] for t in terms if t in local_df}
     else:
-        ts = (
-            store.read_table(spark, "term_stats")
-            .filter(F.col("term").isin(terms))
-            .collect()
-        )
-        df_by_term = {r["term"]: r["df"] for r in ts}
+        known = stats_cache.setdefault("df", {}) if stats_cache is not None else {}
+        missing = [t for t in terms if t not in known]
+        if missing:
+            ts = (
+                store.read_table(spark, "term_stats")
+                .filter(F.col("term").isin(missing))
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in ts}
+            for t in missing:
+                known[t] = found.get(t)  # None pins "absent from index"
+        df_by_term = {t: known[t] for t in terms if known[t] is not None}
     if len(df_by_term) < len(terms):
         return empty()
     idf = _idf_table(num_docs, df_by_term, df_override)

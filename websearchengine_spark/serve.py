@@ -91,6 +91,40 @@ class SearchHTTPServer:
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self._click_lock = threading.Lock()
+        # request-to-request memo of vocab-adjacent driver lookups (per-
+        # term df for /search, per-token spell candidates for
+        # /prediction): the warm path then runs at most the one scoring
+        # job per request.  Invalidation is by index GENERATION — any
+        # commit to the root's catalog/manifest drops both dicts
+        self._cache_lock = threading.Lock()
+        self._cache_gen: tuple | None = None
+        self._stats_cache: dict = {}
+        self._spell_cache: dict = {}
+
+    # ---- per-index caches ------------------------------------------------
+
+    def _index_generation(self) -> tuple:
+        """Invalidation token: the commit state of the root's metadata —
+        the streaming catalog (_live.json, rewritten on every applied
+        batch/compaction) and the index manifest (_manifest.json,
+        rewritten on finalize).  Stat-only: no Spark work."""
+        toks = []
+        for name in ("_live.json", "_manifest.json"):
+            p = os.path.join(self.index_root, name)
+            try:
+                st = os.stat(p)
+                toks.append((name, st.st_mtime_ns, st.st_size))
+            except OSError:
+                toks.append((name, None, None))
+        return tuple(toks)
+
+    def _caches(self) -> tuple[dict, dict]:
+        gen = self._index_generation()
+        with self._cache_lock:
+            if gen != self._cache_gen:
+                self._stats_cache, self._spell_cache = {}, {}
+                self._cache_gen = gen
+            return self._stats_cache, self._spell_cache
 
     # ---- static files ---------------------------------------------------
 
@@ -144,6 +178,7 @@ class SearchHTTPServer:
             from websearchengine_spark.operators.render import serve_search
 
             args = parse_cgi_args(uri_query, url_decode=True)
+            stats_cache, _ = self._caches()
             body = serve_search(
                 self.spark,
                 self.index_root,
@@ -151,6 +186,7 @@ class SearchHTTPServer:
                 fullscan_prep=self.fullscan_prep,
                 docs_fs=self.docs_fs,
                 html_template=self.html_template,
+                stats_cache=stats_cache,
             )
             ctype = (
                 "text/html; charset=utf-8"
@@ -182,7 +218,10 @@ class SearchHTTPServer:
             args = parse_cgi_args(uri_query, url_decode=True)
             if not args["query"]:
                 return 200, "text/plain; charset=utf-8", "No query is given!"
-            rows = correct_query(self.spark, self.index_root, args["query"]).collect()
+            _, spell_cache = self._caches()
+            rows = correct_query(
+                self.spark, self.index_root, args["query"], cache=spell_cache
+            ).collect()
             body = "".join(f"{r['corrected']}\n" for r in rows)
             return 200, "text/plain; charset=utf-8", body
 

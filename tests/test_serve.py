@@ -29,7 +29,7 @@ def served(spark, corpus_pdf, tmp_path_factory):
     clicks = str(base / "clicks")
     srv = SearchHTTPServer(spark, root, click_log_dir=clicks)
     srv.start()
-    yield {"base": f"http://127.0.0.1:{srv.port}", "clicks": clicks}
+    yield {"base": f"http://127.0.0.1:{srv.port}", "clicks": clicks, "root": root}
     srv.stop()
 
 
@@ -154,3 +154,50 @@ def test_non_loopback_bind_gets_generic_500_body(spark, built_index):
         body = ei.value.read()
         assert body == b"internal server error"
         assert b"doc_tokens" not in body
+
+
+def test_grading_flow_prf_bhattacharyya_over_http(spark, served):
+    """The reference's grading_hw3_4_3.sh workflow end-to-end over
+    sockets: for each query, GET /prf?query=Q&ranker=comprehensive&
+    numdocs=10&numterms=5 (the script's exact curl), parse the
+    ``term\\tprob`` expansion lines, then compute the Bhattacharyya
+    coefficient over every query pair exactly as the grading tool does
+    (Bhattacharyya.java:117-147: symmetric, beta = sum over shared terms
+    of sqrt(p1*p2)) — and check it equals the engine's own
+    prf.bhattacharyya on the same expansions."""
+    import itertools
+    import math
+    import urllib.parse
+
+    from websearchengine_spark.operators.prf import bhattacharyya, prf_expand
+
+    queries = ["web search", "google map", "data mining"]
+    exp = {}
+    for q in queries:
+        enc = urllib.parse.quote(q)  # the script sed-encodes spaces as %20
+        body = _get(
+            f"{served['base']}/prf?query={enc}"
+            "&ranker=comprehensive&numdocs=10&numterms=5"
+        )
+        rows = [line.split("\t") for line in body.splitlines() if line]
+        assert len(rows) == 5  # numterms=5
+        exp[q] = {t: float(p) for t, p in rows}
+        assert all(p > 0 for p in exp[q].values())
+
+    for q1, q2 in itertools.combinations(queries, 2):
+        beta_http = sum(
+            math.sqrt(exp[q1][t] * exp[q2][t])
+            for t in exp[q1]
+            if t in exp[q2]
+        )
+        beta_engine = bhattacharyya(
+            prf_expand(
+                spark, served["root"], q1,
+                ranker="comprehensive", num_docs=10, num_terms=5,
+            ),
+            prf_expand(
+                spark, served["root"], q2,
+                ranker="comprehensive", num_docs=10, num_terms=5,
+            ),
+        )
+        assert math.isclose(beta_http, beta_engine, rel_tol=0, abs_tol=1e-9)

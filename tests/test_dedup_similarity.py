@@ -597,3 +597,77 @@ def test_ivf_trainers_raise_on_empty_embeddings(spark):
         ivf_train_centroids_kmeans(empty, nlist=4)
     with pytest.raises(ValueError, match="empty"):
         ivf_build_centroids(empty, nlist=4)
+
+
+def test_ivf_kmeans_recall_realistic_dim(spark, tmp_path):
+    """R5 (verdict item 6): the k-means|| quantizer at realistic shape —
+    256-dim, 50k clustered vectors, nlist=64 — reaches recall@10 >= 0.9
+    at nprobe=4 vs brute force, with per-pass training wall bounded (the
+    trainer runs ~12 full-scan passes: 3 seeding rounds x 2, one weight
+    pass, 5 Lloyd refinements — a constant-factor regression in any pass
+    shows up directly here)."""
+    import time
+
+    import numpy as np
+
+    from websearchengine_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_indexed,
+        ivf_train_centroids_kmeans,
+        ivf_write_index,
+    )
+
+    nlist, dim, n = 64, 256, 50_000
+    rng = np.random.default_rng(11)
+    protos = rng.normal(size=(nlist, dim))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    protos_b = spark.sparkContext.broadcast(protos)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            P = protos_b.value
+            vecs = []
+            for i in ids:
+                r = np.random.default_rng(1000 + int(i))  # partition-invariant
+                v = P[int(i) % len(P)] + r.normal(size=P.shape[1]) * 0.15
+                v /= np.linalg.norm(v)
+                vecs.append(v.tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    emb = (
+        spark.range(n, numPartitions=16)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .persist()
+    )
+    emb.count()
+    try:
+        t0 = time.time()
+        cents = ivf_train_centroids_kmeans(emb, nlist=nlist, seed=13)
+        train_wall = time.time() - t0
+        assert len(cents) == nlist
+        n_passes = 3 * 2 + 1 + 5
+        assert train_wall / n_passes < 15.0, f"{train_wall:.1f}s training"
+
+        path = str(tmp_path / "ivf_km256")
+        ivf_write_index(emb, cents, path)
+        hits = total = 0
+        for q in range(0, 5000, 500):
+            qv = (
+                emb.filter(F.col("vec_id") == q).collect()[0]["embedding"]
+            )
+            want = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+            got = {
+                r["vec_id"]
+                for r in ivf_topk_indexed(
+                    spark, path, cents, qv, k=10, nprobe=4
+                ).collect()
+            }
+            hits += len(want & got)
+            total += len(want)
+        assert hits / total >= 0.9, f"recall@10 = {hits / total:.3f}"
+    finally:
+        emb.unpersist()
+        protos_b.destroy()

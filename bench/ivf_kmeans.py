@@ -16,8 +16,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np  # noqa: E402
-
 
 def main() -> None:
     import tempfile
@@ -31,35 +29,17 @@ def main() -> None:
         ivf_write_index,
     )
     from websearchengine_spark.session import get_spark
+    from websearchengine_spark.sources.corpus import gen_clustered_embeddings
 
     n = int(os.environ.get("IVF_BENCH_N", "50000"))
     nlist, dim, nprobe = 64, 256, 4
     spark = get_spark("bench-ivf-kmeans")
 
-    rng = np.random.default_rng(11)
-    protos = rng.normal(size=(nlist, dim))
-    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
-    protos_b = spark.sparkContext.broadcast(protos)
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids = pdf["id"].to_numpy()
-            P = protos_b.value
-            vecs = []
-            for i in ids:
-                r = np.random.default_rng(1000 + int(i))
-                v = P[int(i) % len(P)] + r.normal(size=P.shape[1]) * 0.15
-                v /= np.linalg.norm(v)
-                vecs.append(v.tolist())
-            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
-
-    emb = (
-        spark.range(n, numPartitions=32)
-        .mapInPandas(gen, "vec_id long, embedding array<double>")
-        .persist()
-    )
+    # the SAME generator as test_ivf_kmeans_recall_realistic_dim — the
+    # test and the bench measure one corpus shape
+    emb = gen_clustered_embeddings(
+        spark, n, dim=dim, nlist=nlist, partitions=32
+    ).persist()
     emb.count()
 
     t0 = time.time()
@@ -77,7 +57,8 @@ def main() -> None:
         spark, os.path.join(root, "ivf"), cents, qv, k=10, nprobe=nprobe
     ).collect()  # warm
     probes, hits, total = [], 0, 0
-    for q in range(0, 5000, 500):
+    # 10 query ids spread over the corpus, valid for any IVF_BENCH_N
+    for q in range(0, n, max(1, n // 10))[:10]:
         qv = emb.filter(F.col("vec_id") == q).collect()[0]["embedding"]
         t0 = time.time()
         got = {
@@ -111,7 +92,6 @@ def main() -> None:
         flush=True,
     )
     emb.unpersist()
-    protos_b.destroy()
 
 
 if __name__ == "__main__":

@@ -209,8 +209,14 @@ def test_static_path_traversal_forbidden(spark, cli_env, tmp_path):
     )
     st, _, body = srv._try_static("/../secret.txt")
     assert st == 403
+    st, _, body = srv._try_static("/%2e%2e/secret.txt")
+    assert st == 403  # percent-encoded traversal decodes BEFORE the check
     st, _, body = srv._try_static("/leak.txt")
     assert st == 403  # symlink realpath escapes the root
     assert srv._try_static("/absent.css") is None  # falls through
     st, _, body = srv._try_static("/index.html")
     assert st == 200 and body == b"ok"
+    # percent-escaped names resolve to the real file (NanoHTTPD decodes)
+    (public / "my app.js").write_text("spaced")
+    st, _, body = srv._try_static("/my%20app.js")
+    assert st == 200 and body == b"spaced"

@@ -608,40 +608,16 @@ def test_ivf_kmeans_recall_realistic_dim(spark, tmp_path):
     shows up directly here)."""
     import time
 
-    import numpy as np
-
     from websearchengine_spark.operators.similarity import (
         cosine_topk,
         ivf_topk_indexed,
         ivf_train_centroids_kmeans,
         ivf_write_index,
     )
+    from websearchengine_spark.sources.corpus import gen_clustered_embeddings
 
     nlist, dim, n = 64, 256, 50_000
-    rng = np.random.default_rng(11)
-    protos = rng.normal(size=(nlist, dim))
-    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
-    protos_b = spark.sparkContext.broadcast(protos)
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids = pdf["id"].to_numpy()
-            P = protos_b.value
-            vecs = []
-            for i in ids:
-                r = np.random.default_rng(1000 + int(i))  # partition-invariant
-                v = P[int(i) % len(P)] + r.normal(size=P.shape[1]) * 0.15
-                v /= np.linalg.norm(v)
-                vecs.append(v.tolist())
-            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
-
-    emb = (
-        spark.range(n, numPartitions=16)
-        .mapInPandas(gen, "vec_id long, embedding array<double>")
-        .persist()
-    )
+    emb = gen_clustered_embeddings(spark, n, dim=dim, nlist=nlist).persist()
     emb.count()
     try:
         t0 = time.time()
@@ -670,4 +646,3 @@ def test_ivf_kmeans_recall_realistic_dim(spark, tmp_path):
         assert hits / total >= 0.9, f"recall@10 = {hits / total:.3f}"
     finally:
         emb.unpersist()
-        protos_b.destroy()

@@ -85,7 +85,11 @@ def check(condition: bool, msg: str) -> None:
 def parse_options(path: str) -> dict:
     """Parse the flat ``key: value`` options file (reference format)."""
     opts: dict[str, str] = {}
-    with open(path) as f:
+    try:
+        f = open(path)
+    except OSError as e:
+        check(False, f"Can't read options file {path}: {e.strerror}")
+    with f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
@@ -134,7 +138,21 @@ def _read_pages(spark, opts: dict):
 
 
 def _opt_int(opts: dict, key: str, default: int | None) -> int | None:
-    return int(opts[key]) if key in opts else default
+    if key not in opts:
+        return default
+    try:
+        return int(opts[key])
+    except ValueError:
+        check(False, f"Invalid integer for {key}: {opts[key]}")
+
+
+def _opt_float(opts: dict, key: str) -> float | None:
+    if key not in opts:
+        return None
+    try:
+        return float(opts[key])
+    except ValueError:
+        check(False, f"Invalid number for {key}: {opts[key]}")
 
 
 def _opt_bool(opts: dict, key: str, default: bool) -> bool:
@@ -178,9 +196,9 @@ def run_index(spark, opts: dict):
     if os.path.exists(signals_path(opts)):
         signals = spark.read.parquet(signals_path(opts))
     kwargs = {}
-    hf = opts.get("head_frac")
+    hf = _opt_float(opts, "head_frac")
     if hf is not None:
-        kwargs["head_frac"] = float(hf)
+        kwargs["head_frac"] = hf
     bs = _opt_int(opts, "block_size", None)
     if bs is not None:
         kwargs["block_size"] = bs

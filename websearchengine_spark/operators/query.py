@@ -345,15 +345,13 @@ def run_query(
     if not token_words:
         return docs.limit(0).withColumn("score", F.lit(0.0)).select(*RESULT_COLS)
 
-    # manifest-first (zero Spark jobs on the serve path); the stats-table
-    # read remains the fallback for indexes finalized before the counts
-    # were recorded in the snapshot config
-    cfg = store.read_manifest().get("config", {})
-    if "num_docs" in cfg and "total_tf" in cfg:
-        num_docs, total_tf = int(cfg["num_docs"]), int(cfg["total_tf"])
-    else:
-        stats = store.read_table(spark, "stats").collect()[0]
-        total_tf, num_docs = stats["total_tf"], stats["num_docs"]
+    # manifest-first corpus stats (zero Spark jobs on the serve path),
+    # stats-table fallback for pre-recording indexes — the SAME helper
+    # the WAND path uses, so the two query paths can never diverge on
+    # num_docs/total_tf (lazy import: topk imports from this module)
+    from websearchengine_spark.operators.topk import _corpus_stats
+
+    num_docs, total_tf, _avg = _corpus_stats(spark, store)
     term_stats = store.read_table(spark, "term_stats")
     distinct_terms = sorted({w for ws in token_words for w in ws})
     need_pos = any(len(ws) > 1 for ws in token_words)

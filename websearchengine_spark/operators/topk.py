@@ -389,6 +389,7 @@ def wand_topk(
             corpus_stats=corpus_stats, df_override=df_override,
             docs_join=docs_join, exclude_doc_ids=exclude_doc_ids,
             local_df=local_df, exclude_df=exclude_df,
+            stats_cache=stats_cache,
         )
         if not docs_join:
             return out.select("doc_id", "score").orderBy(
@@ -554,8 +555,13 @@ def wand_topk(
     topk = per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     if not docs_join:
         return topk
+    # metadata join: broadcast the K-ROW result side explicitly.  Catalyst
+    # can't size the kernel's UDF output, so past ~10 MB of docs it would
+    # fall back to a sort-merge join that SHUFFLES THE WHOLE DOCS TABLE
+    # for k rows (caught by the sf1 plan audit — fine at 500 docs, wrong
+    # at 50k, catastrophic at 10^9)
     out = (
-        topk.join(docs, "doc_id")
+        F.broadcast(topk).join(docs, "doc_id")
         .select(*RESULT_COLS)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
@@ -670,6 +676,7 @@ def wand_topk_batch(
     exclude_doc_ids=None,
     local_df: dict[str, int] | None = None,
     exclude_df: DataFrame | None = None,
+    stats_cache: dict | None = None,
 ) -> DataFrame:
     """BM25 top-k for MANY queries in one job: postings for the union of
     all query terms are scanned once; each shard task scores every query
@@ -730,8 +737,19 @@ def wand_topk_batch(
     if local_df is not None:
         df_by_term = {t: local_df[t] for t in all_terms if t in local_df}
     else:
-        ts = store.read_table(spark, "term_stats").filter(F.col("term").isin(all_terms)).collect()
-        df_by_term = {r["term"]: r["df"] for r in ts}
+        # same memo contract as wand_topk(stats_cache=): absence pinned
+        known = stats_cache.setdefault("df", {}) if stats_cache is not None else {}
+        missing = [t for t in all_terms if t not in known]
+        if missing:
+            ts = (
+                store.read_table(spark, "term_stats")
+                .filter(F.col("term").isin(missing))
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in ts}
+            for t in missing:
+                known[t] = found.get(t)
+        df_by_term = {t: known[t] for t in all_terms if known[t] is not None}
     idf = _idf_table(num_docs, df_by_term, df_override)
     # queries with a term absent from the corpus can never match
     specs = [
@@ -787,8 +805,10 @@ def wand_topk_batch(
         return ranked.select("query", "doc_id", "score", "rank").orderBy(
             "query", "rank"
         )
+    # n_queries x k rows vs the full docs table: broadcast the ranked
+    # side (same sf1 plan-audit rationale as wand_topk's metadata join)
     out = (
-        ranked.join(docs, "doc_id")
+        F.broadcast(ranked).join(docs, "doc_id")
         .select(
             "query", "doc_id", "url", "title", "score", "pagerank", "numviews", "rank"
         )

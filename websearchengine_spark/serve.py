@@ -140,7 +140,13 @@ class SearchHTTPServer:
         reference's substring braces).
         """
         import mimetypes
+        from urllib.parse import unquote
 
+        # percent-decode BEFORE the traversal checks (the reference's
+        # NanoHTTPD decodes URIs; '%2e%2e/' must not slip past, and
+        # 'my%20app.js' must resolve to the real file).  unquote, not
+        # unquote_plus: '+' is literal in path segments
+        path = unquote(path)
         if "../" in path or "..\\" in path:
             return (
                 403,

@@ -184,3 +184,39 @@ def gen_pageview_log_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
         v = int(rng.zipf(1.5))
         views.append(str(v) if rng.random() > 0.02 else "notanumber")
     return pd.DataFrame({"lang": langs, "article": arts, "views": views})
+
+
+def gen_clustered_embeddings(
+    spark,
+    n: int,
+    dim: int = 256,
+    nlist: int = 64,
+    noise: float = 0.15,
+    seed: int = 11,
+    partitions: int = 16,
+):
+    """Deterministic clustered unit vectors for ANN/IVF fixtures and
+    benches: row i = normalize(proto[i % nlist] + N(0, noise)), per-row
+    rng keyed by vec_id (partition-invariant).  The SAME generator backs
+    tests/test_dedup_similarity.py::test_ivf_kmeans_recall_realistic_dim
+    and bench/ivf_kmeans.py so the test and the bench measure the same
+    corpus shape.  Returns (vec_id long, embedding array<double>)."""
+    protos = np.random.default_rng(seed).normal(size=(nlist, dim))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    protos_b = spark.sparkContext.broadcast(protos)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            P = protos_b.value
+            vecs = []
+            for i in ids:
+                r = np.random.default_rng(1000 + int(i))
+                v = P[int(i) % len(P)] + r.normal(size=P.shape[1]) * noise
+                v /= np.linalg.norm(v)
+                vecs.append(v.tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return spark.range(n, numPartitions=partitions).mapInPandas(
+        gen, "vec_id long, embedding array<double>"
+    )

@@ -372,8 +372,10 @@ def apply_suggestion_batch(
     if cat["carry"] is not None:
         carry = spark.read.parquet(os.path.join(root, "carry", cat["carry"]))
     # allowMissingColumns: a carry written before tie-break columns were
-    # carried (or from a source that lacks them) unions as NULLs, which
-    # sort first under desc — stable either way
+    # carried (or from a source that lacks them) unions as NULLs.  Spark
+    # desc is NULLS LAST (the exact reverse of the asc pairing window's
+    # nulls-first), so both windows agree on which event is "last" and
+    # batch/full-log identity holds even across a legacy carry
     union = ev if carry is None else carry.unionByName(
         ev, allowMissingColumns=True
     )

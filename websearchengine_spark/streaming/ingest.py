@@ -893,8 +893,11 @@ def search_live_batch(
         F.col("rank") <= k
     )
     docs = _docs_union(spark, stores, offsets)
+    # n_queries x k rows vs the union of all segments' docs tables:
+    # broadcast the small side (sf1 plan-audit finding — the single-query
+    # path at :808 already did)
     return (
-        topk.join(docs, "doc_id")
+        F.broadcast(topk).join(docs, "doc_id")
         .select(
             "query", "doc_id", "url", "title", "score", "pagerank", "numviews", "rank"
         )

@@ -187,7 +187,7 @@ def wand_gate_probe(
     from websearchengine_spark.operators import topk as T
 
     runs: dict[str, dict] = {}
-    for mode, tp in (("auto", None), ("exhaustive", False)):
+    for mode, tp in (("auto", None), ("two_phase", True), ("exhaustive", False)):
         best, rows, stats = None, None, None
         for _ in range(3):
             t0 = time.time()
@@ -201,9 +201,11 @@ def wand_gate_probe(
             "stats": stats,
             "top": [(r["doc_id"], round(r["score"], 9)) for r in rows],
         }
-    identical = runs["auto"]["top"] == runs["exhaustive"]["top"]
-    dec = runs["auto"]["stats"]["blocks_decoded"]
-    tot = runs["auto"]["stats"]["blocks_total"]
+    identical = (
+        runs["auto"]["top"] == runs["exhaustive"]["top"] == runs["two_phase"]["top"]
+    )
+    dec = runs["two_phase"]["stats"]["blocks_decoded"]
+    tot = runs["two_phase"]["stats"]["blocks_total"]
     # did the auto path actually choose two-phase?  Recompute its
     # decision from the same inputs wand_topk uses
     from websearchengine_spark.operators.query import (
@@ -224,17 +226,30 @@ def wand_gate_probe(
         .filter(F.col("term").isin(terms))
         .collect()
     )
+    n_shards = int(
+        store.read_manifest().get("config", {}).get("n_shards", 1) or 1
+    )
+    per_shard = total_postings / max(1, n_shards)
     return {
         "query": query,
         "gate_threshold": T.WAND_TWO_PHASE_MIN_POSTINGS,
+        "gate_shard_threshold": T.WAND_TWO_PHASE_MIN_SHARD_POSTINGS,
         "total_postings": int(total_postings),
-        "gate_fired": bool(total_postings >= T.WAND_TWO_PHASE_MIN_POSTINGS),
+        "postings_per_shard": round(per_shard, 1),
+        "gate_fired": bool(
+            total_postings >= T.WAND_TWO_PHASE_MIN_POSTINGS
+            and per_shard >= T.WAND_TWO_PHASE_MIN_SHARD_POSTINGS
+        ),
         "auto": {k: runs["auto"][k] for k in ("wall_sec", "stats")},
+        "two_phase": {k: runs["two_phase"][k] for k in ("wall_sec", "stats")},
         "exhaustive": {k: runs["exhaustive"][k] for k in ("wall_sec", "stats")},
         "identical_topk": identical,
         "block_skip_rate": round(1 - dec / max(1, tot), 4),
-        "speedup_vs_exhaustive": round(
+        "auto_speedup_vs_exhaustive": round(
             runs["exhaustive"]["wall_sec"] / runs["auto"]["wall_sec"], 3
+        ),
+        "two_phase_speedup_vs_exhaustive": round(
+            runs["exhaustive"]["wall_sec"] / runs["two_phase"]["wall_sec"], 3
         ),
     }
 
@@ -346,16 +361,23 @@ def main() -> None:
     )
 
     docs_sf1 = spark.read.parquet(os.path.join(SF1_DIR, "documents.parquet"))
-    t0 = time.time()
-    n64 = simhash_duplicate_pairs(docs_sf1, bits=64, max_hamming=2).count()
-    tier["simhash64_dup_pairs (library, sized per docstring rule)"] = {
-        "wall_sec": round(time.time() - t0, 2), "rows": n64,
-    }
-    t0 = time.time()
-    nmh = minhash_lsh_pairs(docs_sf1).count()  # default 10k bucket cap
-    tier["minhash_lsh_pairs (library, default cap)"] = {
-        "wall_sec": round(time.time() - t0, 2), "rows": nmh,
-    }
+    for label, fn in (
+        (
+            "simhash64_dup_pairs (library, sized per docstring rule)",
+            lambda: simhash_duplicate_pairs(docs_sf1, bits=64, max_hamming=2),
+        ),
+        (
+            "minhash_lsh_pairs (library, default cap)",
+            lambda: minhash_lsh_pairs(docs_sf1),  # default 10k bucket cap
+        ),
+    ):
+        t0 = time.time()
+        try:
+            n = fn().count()
+            tier[label] = {"wall_sec": round(time.time() - t0, 2), "rows": n}
+        except Exception as e:  # noqa: BLE001 — never lose the report
+            tier[label] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(f"# tier {label}: {tier[label]}", flush=True)
     drops = {}
     for op, obs in dedup.LAST_BUCKET_DROP_OBS.items():
         try:

@@ -646,3 +646,51 @@ def test_ivf_kmeans_recall_realistic_dim(spark, tmp_path):
         assert hits / total >= 0.9, f"recall@10 = {hits / total:.3f}"
     finally:
         emb.unpersist()
+
+
+def test_simhash_64bit_matches_python_oracle(spark):
+    """sf1-session regression: bits=64 used to (a) crash on the 2^63 bit
+    literal and (b) silently zero bits 32..63 (md5 hex is 32 chars).
+    Full check vs a pure-Python mirror of the salted-digest construction,
+    plus upper-half variability."""
+    import hashlib
+    from collections import Counter
+
+    from websearchengine_spark.operators.dedup import simhash
+
+    def py_simhash(text, bits=64):
+        tf = Counter(t for t in text.lower().split() if t)
+        sums = [0] * bits
+        for term, n in tf.items():
+            digests = {}
+            for b in range(bits):
+                salt = b // 32
+                if salt not in digests:
+                    s = term + (f"#s{salt}" if salt else "")
+                    digests[salt] = hashlib.md5(s.encode()).hexdigest()
+                c = digests[salt][b % 32]
+                sums[b] += n if c in "13579bdf" else -n
+        v = 0
+        for b in range(bits):
+            if sums[b] > 0:
+                v += (1 << b) if b < 63 else -(1 << 63)
+        return v
+
+    rows = [
+        (0, "spark window merge table column"),
+        (1, "vector stream value data small join"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # dup of 2
+        (4, "completely different words entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs, bits=64).collect()
+    }
+    want = {i: py_simhash(t) for i, t in rows}
+    assert got == want
+    assert got[2] == got[3]  # identical docs, identical 64-bit signature
+    # upper 32 bits actually vary (the old code zeroed them)
+    uppers = {v >> 32 & 0xFFFFFFFF for v in got.values()}
+    assert len(uppers) > 1

@@ -236,21 +236,37 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
         ),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    digest = F.md5(F.encode("term", "UTF-8"))
+    if bits > 64:
+        raise ValueError(f"simhash: bits={bits} exceeds the 64-bit key")
     odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+    def bit_char(b: int):
+        # one fingerprint bit per hex char; an md5 digest yields 32 chars,
+        # so bits > 32 draw from additional SALTED digests of the same
+        # term (substring past char 32 is "" — the old code silently
+        # zeroed bits 32..63; caught by the r5 sf1 session's 64-bit run)
+        salt = b // 32
+        src = (
+            F.md5(F.encode(F.concat(F.col("term"), F.lit(f"#s{salt}")), "UTF-8"))
+            if salt
+            else F.md5(F.encode("term", "UTF-8"))
+        )
+        return F.substring(src, (b % 32) + 1, 1)
+
     aggs = [
         F.sum(
-            F.col("tf")
-            * F.when(F.substring(digest, b + 1, 1).isin(*odd), 1).otherwise(-1)
+            F.col("tf") * F.when(bit_char(b).isin(*odd), 1).otherwise(-1)
         ).alias(f"_s{b}")
         for b in range(bits)
     ]
     per_doc = tf.groupBy("doc_id").agg(*aggs)
     sim = None
     for b in range(bits):
-        bit = (
-            F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-        )
+        # bit 63's weight is -(2^63): setting the sign bit in two's
+        # complement (the literal 2^63 overflows a signed long — py4j
+        # NumberFormatException, found at bits=64)
+        coef = (1 << b) if b < 63 else -(1 << 63)
+        bit = F.when(F.col(f"_s{b}") > 0, F.lit(coef)).otherwise(F.lit(0)).cast("long")
         sim = bit if sim is None else sim + bit
     return per_doc.select("doc_id", sim.alias("simhash"))
 

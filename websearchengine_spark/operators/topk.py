@@ -292,6 +292,15 @@ LAST_WAND_STATS: dict = {}
 # total posting volume makes exact-scoring the dominant cost; below this
 # the extra phase-1 job costs more wall-clock than pruning saves.
 WAND_TWO_PHASE_MIN_POSTINGS = 200_000
+# ...and only when each SHARD carries enough postings to amortize it:
+# phase 1 is one extra Spark job (fixed scheduling cost, ~100-300 ms in
+# local mode; an extra stage on a cluster), while its benefit is kernel
+# decode/score work avoided in phase 2 — proportional to PER-SHARD
+# volume, not the total.  The r5 sf1 session measured the gate firing at
+# ~7.3k postings/shard and LOSING 13% wall despite pruning 90% of the
+# candidates; bench/wand_pruning.py puts the kernel's win regime at
+# >= ~10^5 postings per shard.
+WAND_TWO_PHASE_MIN_SHARD_POSTINGS = 50_000
 # ... and only when ONE shard's share of the query's postings fits the
 # driver comfortably (phase 1 collects that shard's blocks).  At cluster
 # scale (thousands of shards) this is never binding; it guards the
@@ -461,7 +470,12 @@ def wand_topk(
         total_postings / max(1, n_shards) <= WAND_PHASE1_MAX_POSTINGS
     )
     if two_phase is None:
-        two_phase = total_postings >= WAND_TWO_PHASE_MIN_POSTINGS and phase1_fits
+        two_phase = (
+            total_postings >= WAND_TWO_PHASE_MIN_POSTINGS
+            and total_postings / max(1, n_shards)
+            >= WAND_TWO_PHASE_MIN_SHARD_POSTINGS
+            and phase1_fits
+        )
     elif two_phase and not phase1_fits:
         # The driver-side collect() cap applies on the EXPLICIT path too —
         # a forced two_phase=True on a few-shard high-df index would

@@ -38,14 +38,27 @@ def audit_plans(spark, index_root: str) -> dict[str, tuple[bool, str]]:
     ok = ("PushedFilters: [In(term" in p or "PushedFilters: [In(`term`" in p) and "html" not in p
     out["postings_scan_pushdown"] = (ok, _scan_lines(p))
 
+    # audit query = two highest-df terms of THIS index's own vocabulary —
+    # a fixed "web search" probe audits the EMPTY-RESULT short-circuit on
+    # corpora that lack those words (the r5 sf1 false-negative: the plan
+    # was fine, the query matched nothing)
+    top_terms = [
+        r["term"]
+        for r in store.read_table(spark, "term_stats")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(2)
+        .collect()
+    ]
+    audit_q = " ".join(top_terms) if top_terms else "web search"
+
     # 2. WAND path: metadata join is a broadcast, global top-k is
     #    TakeOrderedAndProject (bounded heap merge, no full sort)
-    wp = plan_of(wand_topk(spark, index_root, "web search", k=10))
+    wp = plan_of(wand_topk(spark, index_root, audit_q, k=10))
     ok = "TakeOrderedAndProject" in wp and "BroadcastHashJoin" in wp
     out["wand_topk_merge_and_broadcast"] = (ok, _grep(wp, ["TakeOrderedAndProject", "BroadcastHashJoin"]))
 
     # 3. DataFrame scorer path: same properties
-    rp = plan_of(run_query(spark, index_root, "web search", ranker="bm25", k=10))
+    rp = plan_of(run_query(spark, index_root, audit_q, ranker="bm25", k=10))
     ok = "TakeOrderedAndProject" in rp and "BroadcastHashJoin" in rp
     out["dataframe_scorer_merge"] = (ok, _grep(rp, ["TakeOrderedAndProject", "BroadcastHashJoin"]))
 

@@ -239,6 +239,7 @@ def wand_gate_probe(
         "gate_fired": bool(
             total_postings >= T.WAND_TWO_PHASE_MIN_POSTINGS
             and per_shard >= T.WAND_TWO_PHASE_MIN_SHARD_POSTINGS
+            and per_shard <= T.WAND_PHASE1_MAX_POSTINGS  # phase-1 driver cap
         ),
         "auto": {k: runs["auto"][k] for k in ("wall_sec", "stats")},
         "two_phase": {k: runs["two_phase"][k] for k in ("wall_sec", "stats")},

@@ -333,9 +333,11 @@ def wand_topk(
     reach it are dropped BEFORE exact scoring.  The final top-k is
     provably identical to the exhaustive run (see WAND_PRUNE_EPS).
     ``two_phase=None`` (default) auto-enables it when the query's total
-    posting count exceeds WAND_TWO_PHASE_MIN_POSTINGS — at small volumes
-    the extra phase-1 job dominates; at cluster scale any real query
-    crosses the cutoff.
+    posting count exceeds WAND_TWO_PHASE_MIN_POSTINGS AND the per-shard
+    share exceeds WAND_TWO_PHASE_MIN_SHARD_POSTINGS (r5: phase 1 is a
+    fixed-cost extra job; its benefit scales with per-shard volume) AND
+    the phase-1 shard fits the driver — at small volumes the extra job
+    dominates; at cluster scale any real query crosses both floors.
 
     ``corpus_stats=(num_docs, total_tf)`` and ``df_override={term: df}``
     replace this index's OWN statistics with caller-supplied (e.g.

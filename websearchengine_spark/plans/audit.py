@@ -38,17 +38,33 @@ def audit_plans(spark, index_root: str) -> dict[str, tuple[bool, str]]:
     ok = ("PushedFilters: [In(term" in p or "PushedFilters: [In(`term`" in p) and "html" not in p
     out["postings_scan_pushdown"] = (ok, _scan_lines(p))
 
-    # audit query = two highest-df terms of THIS index's own vocabulary —
-    # a fixed "web search" probe audits the EMPTY-RESULT short-circuit on
+    # audit query = two high-df terms of THIS index's own vocabulary — a
+    # fixed "web search" probe audits the EMPTY-RESULT short-circuit on
     # corpora that lack those words (the r5 sf1 false-negative: the plan
-    # was fine, the query matched nothing)
-    top_terms = [
+    # was fine, the query matched nothing).  Candidates are restricted to
+    # ANALYZER FIXED POINTS: term_stats holds analyzer output, and Porter
+    # step 1 is not idempotent ('housing'->'hous' but stem('hous')='hou'),
+    # so a non-fixed-point stem fed back through the query path would
+    # miss the vocabulary and re-create the same false negative
+    from websearchengine_spark.operators.query import (
+        analyze_tokens,
+        index_analyzer,
+        parse_query,
+    )
+
+    analyzer = index_analyzer(store)
+    candidates = [
         r["term"]
         for r in store.read_table(spark, "term_stats")
         .orderBy(F.desc("df"), F.asc("term"))
-        .limit(2)
+        .limit(20)
         .collect()
     ]
+    top_terms = [
+        t
+        for t in candidates
+        if analyze_tokens(parse_query(t), analyzer) == [[t]]
+    ][:2]
     audit_q = " ".join(top_terms) if top_terms else "web search"
 
     # 2. WAND path: metadata join is a broadcast, global top-k is

@@ -437,6 +437,41 @@ def _probe_lists(
     return sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:nprobe]
 
 
+def _assign_inline(emb: DataFrame, centroids: list[list[float]], vec_col: str):
+    """emb columns + list_id in ONE mapInPandas pass: the centroid
+    matrix travels by broadcast and assignment is a numpy matmul argmax.
+
+    The scale path for ivf_write_index: the SQL expression route builds
+    nlist x dim literal nodes and evaluates nlist aggregate folds PER
+    ROW (at 64x256 that was ~2.5x the whole write wall, measured in the
+    r5 sf1 session), and joining a separate (id, list_id) table back
+    costs a shuffle of the full embedding payload.  numpy ties break to
+    the FIRST max — same rule as array_position(max)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    cb = spark.sparkContext.broadcast(C)
+    out_schema = T.StructType(
+        emb.schema.fields + [T.StructField("list_id", T.IntegerType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.array(list(pdf[vec_col]), dtype=np.float64)
+                lids = (X @ cb.value.T).argmax(axis=1).astype("int32")
+            else:
+                lids = np.empty(0, dtype="int32")
+            pdf = pdf.copy()
+            pdf["list_id"] = lids
+            yield pdf
+
+    return emb.mapInPandas(kernel, out_schema)
+
+
 def ivf_write_index(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -449,11 +484,20 @@ def ivf_write_index(
 
     This is the index-build step: one full scan total, amortized over
     every subsequent query.  The partitioned layout is what lets
-    ``ivf_topk_indexed`` touch only nprobe/nlist of the files."""
-    assigned = ivf_assign(emb, centroids, id_col, vec_col, round_dots)
+    ``ivf_topk_indexed`` touch only nprobe/nlist of the files.
+
+    ``round_dots=None`` (production) assigns via the vectorized
+    mapInPandas kernel inline with the scan — no join, no per-row
+    Catalyst folds.  ``round_dots=N`` keeps the exact SQL-expression
+    assignment (rounded-dot argmax, reproducible across engines — the
+    driver-oracle mode)."""
+    if round_dots is None:
+        assigned_rows = _assign_inline(emb, centroids, vec_col)
+    else:
+        assigned = ivf_assign(emb, centroids, id_col, vec_col, round_dots)
+        assigned_rows = emb.join(assigned, id_col)
     (
-        emb.join(assigned, id_col)
-        .write.partitionBy("list_id")
+        assigned_rows.write.partitionBy("list_id")
         .mode("overwrite")
         .parquet(path)
     )

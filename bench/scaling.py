@@ -323,11 +323,15 @@ Methodology notes:
 """
     bench_dir = os.path.join(REPO, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+    # SCALING_latest.md, NOT BASELINE.md: BASELINE.md accumulates the
+    # per-round session history + the formal criterion — a "w"-mode
+    # write there clobbered it in r5.  Append the session table to
+    # BASELINE.md by hand (or from SCALING_latest.md).
+    with open(os.path.join(bench_dir, "SCALING_latest.md"), "w") as f:
         f.write(md)
     with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
         json.dump(report, f, indent=2)
-    print(f"wrote {bench_dir}/BASELINE.md", flush=True)
+    print(f"wrote {bench_dir}/SCALING_latest.md", flush=True)
 
 
 if __name__ == "__main__":

@@ -469,7 +469,7 @@ def _assign_inline(emb: DataFrame, centroids: list[list[float]], vec_col: str):
             pdf["list_id"] = lids
             yield pdf
 
-    return emb.mapInPandas(kernel, out_schema)
+    return emb.mapInPandas(kernel, out_schema), cb
 
 
 def ivf_write_index(
@@ -491,16 +491,23 @@ def ivf_write_index(
     Catalyst folds.  ``round_dots=N`` keeps the exact SQL-expression
     assignment (rounded-dot argmax, reproducible across engines — the
     driver-oracle mode)."""
+    cb = None
     if round_dots is None:
-        assigned_rows = _assign_inline(emb, centroids, vec_col)
+        assigned_rows, cb = _assign_inline(emb, centroids, vec_col)
     else:
         assigned = ivf_assign(emb, centroids, id_col, vec_col, round_dots)
         assigned_rows = emb.join(assigned, id_col)
-    (
-        assigned_rows.write.partitionBy("list_id")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    try:
+        (
+            assigned_rows.write.partitionBy("list_id")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        # the write is the only action over the kernel — release the
+        # centroid broadcast (same discipline as the k-means trainer)
+        if cb is not None:
+            cb.destroy()
 
 
 def ivf_topk_indexed(

@@ -28,7 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from websearchengine_spark.operators.dedup import simhash
+from websearchengine_spark.operators.dedup import (
+    DEFAULT_N_HASHES,
+    char_shingles,
+    minhash_signatures,
+    simhash,
+)
 from websearchengine_spark.operators.similarity import _as_double, lsh_bucket
 from websearchengine_spark.session import get_spark
 
@@ -95,6 +100,31 @@ def legacy_simhash(docs, text_col="text", bits=BITS):
         )
         .groupBy("doc_id")
         .agg(F.sum("bit").cast("long").alias("simhash"))
+    )
+
+
+def legacy_minhash_signatures(
+    docs, text_col="text", n_hashes=DEFAULT_N_HASHES, shingle_k=8
+):
+    """The r1-r4 shape, verbatim: char_shingles EXPLODE (~len(text) rows
+    per doc) -> groupBy(doc_id) min-aggregates.  Replaced in r5 by the
+    explode-free transform/array_min projection."""
+    sh = char_shingles(docs, text_col, shingle_k)
+    digests = {
+        g: F.md5(F.encode(F.concat(F.lit(f"{g}|"), F.col("shingle")), "UTF-8"))
+        for g in range((n_hashes + 3) // 4)
+    }
+    aggs = [
+        F.min(
+            F.conv(F.substring(digests[h // 4], 1 + 8 * (h % 4), 8), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"mh{h}")
+        for h in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"mh{h}") for h in range(n_hashes)]).alias("mh")
     )
 
 
@@ -165,6 +195,34 @@ def main():
                 "rows_amplified": n_doc_terms * BITS,
                 "rows_deamplified": n_doc_terms,
                 "amplification_removed": BITS,
+                "old_ms": round(old_ms, 1),
+                "new_ms": round(new_ms, 1),
+                "speedup": round(old_ms / max(new_ms, 1e-9), 2),
+                "identical": identical,
+            }
+        )
+    )
+
+    # ---- minhash signatures (r5) ---------------------------------------
+    avg_shingles = (
+        char_shingles(docs).count() // max(1, n_docs)
+    )
+    old = legacy_minhash_signatures(docs)
+    new = minhash_signatures(docs)
+    _, old_ms = _timed_rows(old)
+    _, new_ms = _timed_rows(new)
+    identical = (
+        sorted((r["doc_id"], tuple(r["mh"])) for r in old.collect())
+        == sorted((r["doc_id"], tuple(r["mh"])) for r in new.collect())
+    )
+    print(
+        json.dumps(
+            {
+                "op": "minhash_signatures",
+                "n_docs": n_docs,
+                "rows_amplified": n_docs * avg_shingles,
+                "rows_deamplified": n_docs,
+                "amplification_removed": int(avg_shingles),
                 "old_ms": round(old_ms, 1),
                 "new_ms": round(new_ms, 1),
                 "speedup": round(old_ms / max(new_ms, 1e-9), 2),

@@ -115,3 +115,20 @@ def test_simhash_plan_has_single_generate_two_exchanges(spark):
     p = plan_of(simhash(docs), "formatted")
     assert len(re.findall(r"\(\d+\) Generate", p)) == 1, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+
+
+def test_minhash_signatures_plan_is_explode_free_and_shuffle_free(spark):
+    """Round-5 de-amplification pin: the MinHash signature is array_min
+    over transform(sequence) shingle hashes in ONE projection — no
+    Generate (the old shape emitted ~len(text) shingle rows per doc, the
+    only near-data-proportional bench phase at sf1) and no Exchange (the
+    groupBy(doc_id) min-agg shuffle is gone)."""
+    from websearchengine_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with words") for i in range(4)],
+        "doc_id long, text string",
+    )
+    p = plan_of(minhash_signatures(docs), "formatted")
+    assert "Generate" not in p, p
+    assert "Exchange" not in p, p

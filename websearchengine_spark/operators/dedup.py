@@ -102,27 +102,51 @@ def minhash_signatures(
     Hash family: each md5 digest yields FOUR independent 32-bit lanes,
     so n_hashes functions cost only ceil(n_hashes/4) digests per shingle
     (the digest, not the min-agg, dominates the shingle pass at corpus
-    scale); digests are salted per 4-lane group.  Catalyst's
-    subexpression elimination computes each salted digest once even
-    though four min() aggregates reference it.
+    scale); digests are salted per 4-lane group.
+
+    EXPLODE-FREE (r5): the per-doc signature is array_min over a
+    transform(sequence) of shingle hashes in ONE projection — no
+    Generate (the old shape emitted ~len(text) shingle ROWS per doc,
+    ~300x amplification, the only near-data-proportional phase in the
+    sf1 session) and no groupBy shuffle (signatures never leave their
+    input partition).  min over a multiset equals min over the set, so
+    duplicate shingles need no dedup.  Shingle semantics are
+    char_shingles' exactly: whitespace-normalized lowercase text,
+    positions 1..greatest(len-k+1, 1) (short docs keep their one
+    truncated shingle).  Legacy explode shape + A/B:
+    bench/deamplify.py::legacy_minhash_signatures.
     """
-    sh = char_shingles(docs, text_col, shingle_k)
-    digests = {
-        g: F.md5(F.encode(F.concat(F.lit(f"{g}|"), F.col("shingle")), "UTF-8"))
-        for g in range((n_hashes + 3) // 4)
-    }
-    aggs = [
-        F.min(
-            F.conv(F.substring(digests[h // 4], 1 + 8 * (h % 4), 8), 16, 10).cast(
-                "long"
+    norm = _norm(text_col)
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - (shingle_k - 1), F.lit(1))
+    )
+
+    def group_digests(g: int):
+        # one md5 per (shingle, 4-lane group); the identical expression
+        # backs all four of the group's lanes, deduplicated by Catalyst
+        # subexpression elimination within the projection
+        return F.transform(
+            positions,
+            lambda i: F.md5(
+                F.encode(
+                    F.concat(F.lit(f"{g}|"), norm.substr(i, F.lit(shingle_k))),
+                    "UTF-8",
+                )
+            ),
+        )
+
+    lanes = [
+        F.array_min(
+            F.transform(
+                group_digests(h // 4),
+                lambda d: F.conv(
+                    F.substring(d, 1 + 8 * (h % 4), 8), 16, 10
+                ).cast("long"),
             )
-        ).alias(f"mh{h}")
+        )
         for h in range(n_hashes)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"mh{h}") for h in range(n_hashes)]).alias("mh")
-    )
+    return docs.select("doc_id", F.array(*lanes).alias("mh"))
 
 
 def _drop_hot_buckets(

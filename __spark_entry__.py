@@ -2372,6 +2372,172 @@ SQL_LIVE_RECRAWL_BM25_TOP20 = (
 # Contract functions
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Round-5 training-data-pipeline entries: Gopher filters, PII, hash split
+# --------------------------------------------------------------------------
+
+# The sf documents have single-line digit-free text, so these entries
+# DERIVE richer text deterministically from (text, doc_id) — identically
+# on both engines — to make the line/PII features non-trivial at gate SF.
+
+
+def _gopher_text_spark():
+    t = F.col("text")
+    t = F.replace(t, F.lit(" scan "), F.lit("\nscan\n"))
+    t = F.replace(t, F.lit(" fast "), F.lit("\n- fast "))
+    t = F.replace(t, F.lit(" slow "), F.lit(" slow...\n"))
+    return t
+
+
+_GOPHER_TEXT_SQL = (
+    "replace(replace(replace(text, ' scan ', chr(10) || 'scan' || chr(10)), "
+    "' fast ', chr(10) || '- fast '), ' slow ', ' slow...' || chr(10))"
+)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/quality filter features (Rae et al. 2021
+    A1 family) over documents with deterministically planted structure
+    (newlines, bullets, ellipses) so every feature is exercised."""
+    from websearchengine_spark.operators.textstats import gopher_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", _gopher_text_spark().alias("text"))
+    return gopher_stats(docs).orderBy("doc_id")
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH g AS (SELECT doc_id, {_GOPHER_TEXT_SQL} AS text FROM documents),
+ base AS (SELECT doc_id, text,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks,
+    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+  FROM g),
+ feat AS (SELECT doc_id, toks,
+    len(toks) AS n_words,
+    coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS word_chars,
+    len(lines) AS n_lines,
+    len(list_distinct(lines)) AS n_distinct_lines,
+    coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+      - coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0)
+      AS dup_line_chars,
+    coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS line_chars,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) / 3 AS symbols,
+    len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* '))) AS bullet_lines,
+    len(list_filter(lines, l -> ends_with(l, '...'))) AS ellipsis_lines
+  FROM base),
+ grams AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END) AS gram
+  FROM feat),
+ gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+ topg AS (SELECT doc_id, cnt AS top_cnt, length(gram) - 1 AS top_gram_chars
+  FROM (SELECT doc_id, gram, cnt,
+          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        FROM gc) WHERE rn = 1),
+ u AS (SELECT f.doc_id, f.n_words,
+    word_chars * 1.0 / greatest(n_words, 1) AS mean_word_len,
+    f.n_lines,
+    (n_lines - n_distinct_lines) * 1.0 / greatest(n_lines, 1) AS dup_line_frac,
+    dup_line_chars * 1.0 / greatest(line_chars, 1) AS dup_line_char_frac,
+    coalesce(top_cnt * top_gram_chars * 1.0 / greatest(word_chars, 1), 0.0)
+      AS top_2gram_char_frac,
+    symbols / greatest(n_words, 1) AS symbol_word_ratio,
+    bullet_lines * 1.0 / greatest(n_lines, 1) AS bullet_line_frac,
+    ellipsis_lines * 1.0 / greatest(n_lines, 1) AS ellipsis_line_frac
+  FROM feat f LEFT JOIN topg ON f.doc_id = topg.doc_id)
+SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len, n_lines,
+  round(dup_line_frac, 6) AS dup_line_frac,
+  round(dup_line_char_frac, 6) AS dup_line_char_frac,
+  round(top_2gram_char_frac, 6) AS top_2gram_char_frac,
+  round(symbol_word_ratio, 6) AS symbol_word_ratio,
+  round(bullet_line_frac, 6) AS bullet_line_frac,
+  round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+  CASE WHEN n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_word_ratio <= 0.1
+        AND dup_line_frac <= 0.3
+        AND top_2gram_char_frac <= 0.2
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+   THEN 1 ELSE 0 END AS gopher_pass
+FROM u ORDER BY doc_id
+"""
+
+
+def _pii_text_spark():
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".0.1 call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-9876 bye"),
+    )
+
+
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.' "
+    "|| CAST(doc_id % 250 AS VARCHAR) || '.0.1 call 555-01' "
+    "|| lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-9876 bye'"
+)
+
+
+def q_pii_redact(spark, sf_dir):
+    """C4-style PII scrub (emails -> IPv4 -> phone runs) over documents
+    with a deterministic per-doc PII suffix; value-hash compares the
+    redacted text via md5 so every replacement position matters."""
+    from websearchengine_spark.operators.textstats import pii_redact
+
+    docs = _docs(spark, sf_dir).select("doc_id", _pii_text_spark().alias("text"))
+    out = pii_redact(docs)
+    return out.select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones",
+        F.md5(F.encode("redacted", "UTF-8")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _sql_pii() -> str:
+    from websearchengine_spark.operators.textstats import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents),
+ s1 AS (SELECT doc_id,
+    len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+    regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM p),
+ s2 AS (SELECT doc_id, n_emails,
+    len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ipv4,
+    regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2 FROM s1),
+ s3 AS (SELECT doc_id, n_emails, n_ipv4,
+    len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phones,
+    regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS t3 FROM s2)
+SELECT doc_id, n_emails, n_ipv4, n_phones, md5(t3) AS redacted_md5
+FROM s3 ORDER BY doc_id
+"""
+
+
+SQL_PII_REDACT = _sql_pii()
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test split by doc_id."""
+    from websearchengine_spark.operators.textstats import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+  CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+    AS bucket,
+  CASE WHEN CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+       WHEN CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: full build + conjunctive BM25 WAND top-10."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2437,6 +2603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": q_region_rollup,
         "history_suggestions": q_history_suggestions,
         "title_hit_count": q_title_hit_count,
+        "gopher_quality": q_gopher_quality,
+        "pii_redact": q_pii_redact,
+        "hash_split": q_hash_split,
     }
 
 
@@ -2496,4 +2665,7 @@ def oracle_sql() -> dict[str, str]:
         "region_rollup": SQL_REGION_ROLLUP,
         "history_suggestions": SQL_HISTORY_SUGGESTIONS,
         "title_hit_count": SQL_TITLE_HIT_COUNT,
+        "gopher_quality": SQL_GOPHER_QUALITY,
+        "pii_redact": SQL_PII_REDACT,
+        "hash_split": SQL_HASH_SPLIT,
     }

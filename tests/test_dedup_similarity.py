@@ -694,3 +694,195 @@ def test_simhash_64bit_matches_python_oracle(spark):
     # upper 32 bits actually vary (the old code zeroed them)
     uppers = {v >> 32 & 0xFFFFFFFF for v in got.values()}
     assert len(uppers) > 1
+
+
+# --------------------------------------------------------------------------
+# Round-5 training-data-pipeline additions: Gopher filters, PII, hash split
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def textstats_docs(spark):
+    rows = [
+        (0, "the cat sat\nthe cat sat\n- bullet line\nend of story..."),
+        (1, "one two one two one two three # # #"),
+        (2, ""),
+        (3, "single"),
+        (4, "a line\nanother line\na line\nmail me at bob.smith+x@mail.example.org "
+            "or 192.168.0.1 call +1 555-0100 999 now"),
+        (5, "* starred\n* starred\nplain tail here with words flowing onward"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_gopher_stats_known_values(spark, textstats_docs):
+    """Hand-checked Gopher repetition/quality features on a fixture that
+    exercises every feature (dups, bullets, ellipses, symbols, empties)."""
+    from websearchengine_spark.operators.textstats import gopher_stats
+
+    got = {r["doc_id"]: r.asDict() for r in gopher_stats(textstats_docs).collect()}
+
+    d0 = got[0]  # 4 lines, one dup pair; words incl. "-" and "story..."
+    assert d0["n_words"] == 12
+    assert d0["n_lines"] == 4
+    assert d0["dup_line_frac"] == 0.25
+    # line chars 11+11+13+15=50, dup occurrence chars 11
+    assert d0["dup_line_char_frac"] == 0.22
+    # tie at cnt=2 between "cat sat" and "the cat" -> gram asc picks "cat sat"
+    # covered chars 2*6=12 over word chars 42
+    assert d0["top_2gram_char_frac"] == round(12 / 42, 6)
+    assert d0["bullet_line_frac"] == 0.25
+    assert d0["ellipsis_line_frac"] == 0.25
+    # one '...' occurrence, no '#': 1/12
+    assert d0["symbol_word_ratio"] == round(1 / 12, 6)
+    assert d0["gopher_pass"] == 0  # < 50 words
+
+    d1 = got[1]  # "one two" x3 dominates; 3 '#' symbols
+    # "one two" x3, 6 non-space chars per occurrence, over 26 word chars
+    assert d1["top_2gram_char_frac"] == round(3 * 6 / 26, 6)
+    assert d1["symbol_word_ratio"] == 0.3
+    assert d1["dup_line_frac"] == 0.0
+
+    d2 = got[2]  # empty doc: all zeros, no div-by-zero
+    assert d2["n_words"] == 0 and d2["n_lines"] == 0
+    assert d2["top_2gram_char_frac"] == 0.0 and d2["gopher_pass"] == 0
+
+    d3 = got[3]  # single word: no 2-grams
+    assert d3["top_2gram_char_frac"] == 0.0 and d3["mean_word_len"] == 6.0
+
+    d5 = got[5]  # '* ' bullets counted, dup starred lines
+    assert d5["bullet_line_frac"] == round(2 / 3, 6)
+    assert d5["dup_line_frac"] == round(1 / 3, 6)
+
+
+def test_gopher_pass_accepts_clean_long_doc(spark):
+    from websearchengine_spark.operators.textstats import gopher_stats
+
+    words = [f"word{i:03d}" for i in range(120)]  # 120 distinct 7-char words
+    docs = spark.createDataFrame(
+        pd.DataFrame([(0, " ".join(words))], columns=["doc_id", "text"])
+    )
+    row = gopher_stats(docs).collect()[0]
+    assert row["gopher_pass"] == 1
+    assert row["n_words"] == 120
+    assert row["dup_line_frac"] == 0.0
+
+
+def test_pii_redact_known_cases(spark, textstats_docs):
+    from websearchengine_spark.operators.textstats import pii_redact
+
+    got = {r["doc_id"]: r.asDict() for r in pii_redact(textstats_docs).collect()}
+    d4 = got[4]
+    assert (d4["n_emails"], d4["n_ipv4"], d4["n_phones"]) == (1, 1, 1)
+    assert d4["redacted"] == (
+        "a line\nanother line\na line\nmail me at <EMAIL> or <IP> call <PHONE> now"
+    )
+    # docs without PII are untouched
+    assert got[0]["redacted"].startswith("the cat sat")
+    assert (got[0]["n_emails"], got[0]["n_ipv4"], got[0]["n_phones"]) == (0, 0, 0)
+
+
+def test_pii_redact_edge_patterns(spark):
+    from websearchengine_spark.operators.textstats import pii_redact
+
+    rows = [
+        (0, "two mails a@b.io and c.d+e@f-g.co.uk here"),
+        (1, "short digits 123-456 stay"),         # < 9 chars, not a phone
+        (2, "ip 1.2.3.4 then 255.255.255.255"),
+        (3, "phone +44 20 7946 0958 ok"),
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in pii_redact(
+            spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        ).collect()
+    }
+    assert got[0]["n_emails"] == 2
+    assert got[0]["redacted"] == "two mails <EMAIL> and <EMAIL> here"
+    assert got[1]["n_phones"] == 0 and got[1]["redacted"] == rows[1][1]
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["n_phones"] == 1
+    assert got[3]["redacted"] == "phone <PHONE> ok"
+
+
+def test_pii_redact_matches_duckdb_semantics(spark, textstats_docs):
+    """The Java-regex/RE2 compatibility claim, checked: counts AND
+    redacted text identical under DuckDB on the same fixture."""
+    import duckdb
+
+    from websearchengine_spark.operators.textstats import (
+        EMAIL_RE, IPV4_RE, PHONE_RE, pii_redact,
+    )
+
+    got = [
+        (r["doc_id"], r["n_emails"], r["n_ipv4"], r["n_phones"], r["redacted"])
+        for r in pii_redact(textstats_docs).orderBy("doc_id").collect()
+    ]
+    pdf = textstats_docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        f"""
+        WITH s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+              regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM documents),
+         s2 AS (SELECT doc_id, n_emails,
+              len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ipv4,
+              regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2 FROM s1),
+         s3 AS (SELECT doc_id, n_emails, n_ipv4,
+              len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phones,
+              regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS t3 FROM s2)
+        SELECT doc_id, n_emails, n_ipv4, n_phones, t3 FROM s3 ORDER BY doc_id
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """bucket == python md5 mirror; split never migrates when docs are
+    added (the content-stable-split property the operator exists for)."""
+    import hashlib
+
+    from websearchengine_spark.operators.textstats import hash_split
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(docs).collect()}
+    for i in range(200):
+        b = int(hashlib.md5(f"0|{i}".encode()).hexdigest()[:8], 16) % 100
+        s = "train" if b < 90 else ("val" if b < 95 else "test")
+        assert got[i] == (b, s)
+    # subset of a larger corpus: identical assignment for shared ids
+    got_large = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in hash_split(spark.range(400).withColumnRenamed("id", "doc_id")).collect()
+    }
+    assert all(got_large[i] == got[i] for i in range(200))
+    # all three splits materialize at n=200
+    assert {s for _, s in got.values()} == {"train", "val", "test"}
+
+    with pytest.raises(ValueError, match="room for the test split"):
+        hash_split(docs, train_pct=99, val_pct=5)
+
+
+def test_new_textstats_entries_match_duckdb_oracles(spark):
+    """Driver-gate mirror for the three round-5 entries at sf0.001."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    for key in ("gopher_quality", "pii_redact", "hash_split"):
+        got_df = entry.queries()[key](spark, sf_dir)
+        want = con.execute(entry.oracle_sql()[key]).fetchdf()
+        got = got_df.toPandas()
+        assert list(got.columns) == list(want.columns), key
+        assert len(got) == len(want) > 0, key
+        got_s = got.sort_values(list(got.columns)).reset_index(drop=True)
+        want_s = want.sort_values(list(want.columns)).reset_index(drop=True)
+        for c in got.columns:
+            gv, wv = got_s[c].tolist(), want_s[c].tolist()
+            assert gv == wv, f"{key}.{c}: {gv[:5]} != {wv[:5]}"

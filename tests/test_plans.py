@@ -132,3 +132,38 @@ def test_minhash_signatures_plan_is_explode_free_and_shuffle_free(spark):
     p = plan_of(minhash_signatures(docs), "formatted")
     assert "Generate" not in p, p
     assert "Exchange" not in p, p
+
+
+def test_pii_redact_and_hash_split_plans_are_map_only(spark):
+    """Round-5 pins: PII scrubbing and hash-split assignment are pure
+    projections — no Generate, no Exchange — so they run as map-only
+    passes fused into whatever scan precedes them at any corpus size."""
+    from websearchengine_spark.operators.textstats import hash_split, pii_redact
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} a@b.co") for i in range(4)], "doc_id long, text string"
+    )
+    for df in (pii_redact(docs), hash_split(docs)):
+        p = plan_of(df, "formatted")
+        assert "Generate" not in p, p
+        assert "Exchange" not in p, p
+
+
+def test_gopher_stats_plan_single_generate(spark):
+    """Round-5 pin: every Gopher feature except the 2-gram mode is
+    explode-free array algebra; the plan carries exactly ONE Generate
+    (the linear gram explode, n_words-1 rows/doc — same order as the tf
+    pass the index build already does), never a line- or char-level
+    amplification."""
+    from websearchengine_spark.operators.textstats import gopher_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"line one\nline two {i}\nline one") for i in range(4)],
+        "doc_id long, text string",
+    )
+    import re
+
+    p = plan_of(gopher_stats(docs), "formatted")
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1, p
+    # three keyed Exchanges: gram count, per-doc argmax, join co-partition
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3, p

@@ -118,3 +118,193 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", shingle_k: int = 8
     return sh.groupBy("doc_id").agg(
         F.min(_hash32(F.col("shingle"), 0)).alias("fingerprint")
     )
+
+
+def _lines(text_col: str):
+    return F.filter(F.split(text_col, "\n"), lambda l: l != "")
+
+
+def gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/quality features per document (Rae et al.
+    2021 "Scaling Language Models", appendix A1 filter family — the
+    standard pre-training corpus filters the reference-era C4/Gopher
+    pipelines apply).
+
+    Columns (all ratios rounded 6dp; ``gopher_pass`` is 0/1 int):
+      n_words, mean_word_len, n_lines,
+      dup_line_frac        — 1 - distinct/total lines,
+      dup_line_char_frac   — chars in repeat occurrences of a line / line chars,
+      top_2gram_char_frac  — chars covered by the most frequent word
+                             2-gram (count desc, gram asc tie-break),
+      symbol_word_ratio    — ('#' chars + '...' occurrences) / words,
+      bullet_line_frac, ellipsis_line_frac,
+      gopher_pass          — the composite keep/drop decision.
+
+    Scale story: everything except the 2-gram mode is ONE explode-free
+    projection (array ops over the token/line arrays — line duplicate
+    mass via length-sum minus distinct-length-sum, no per-line rows).
+    The 2-gram mode is a linear explode (n_words-1 rows/doc, same order
+    as the tf pass every index build already does) -> partial-agg
+    groupBy(doc_id, gram) -> groupBy(doc_id) min(struct(-cnt, gram))
+    argmax -> join back on doc_id.  Two shuffles total, both keyed and
+    combinable map-side; no quadratic term anywhere.
+    """
+    toks = _tokens(text_col)
+    lines = _lines(text_col)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    dup_line_chars = line_chars - F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, l: a + F.length(l)
+    )
+    hash_chars = F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    ellipsis_occ = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3
+    bullet_lines = F.size(F.filter(lines, lambda l: F.substring(l, 1, 2).isin("- ", "* ")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+
+    base = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        word_chars.alias("_word_chars"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("_n_distinct_lines"),
+        line_chars.alias("_line_chars"),
+        dup_line_chars.alias("_dup_line_chars"),
+        (hash_chars + ellipsis_occ).alias("_symbols"),
+        bullet_lines.alias("_bullet_lines"),
+        ellipsis_lines.alias("_ellipsis_lines"),
+        toks.alias("_toks"),
+    )
+
+    # most-frequent word 2-gram per doc: linear explode -> count -> argmax
+    grams = widen_for_explode(base).select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.concat(
+                        F.element_at("_toks", i), F.lit(" "), F.element_at("_toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top_gram = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("negc"), F.col("gram"))).alias("_t"))
+        .select(
+            "doc_id",
+            (-F.col("_t.negc")).alias("_top_cnt"),
+            (F.length("_t.gram") - 1).alias("_top_gram_chars"),
+        )
+    )
+
+    j = base.join(top_gram, "doc_id", "left")
+    nw = F.greatest(F.col("n_words"), F.lit(1))
+    nl = F.greatest(F.col("n_lines"), F.lit(1))
+    lc = F.greatest(F.col("_line_chars"), F.lit(1))
+    wc = F.greatest(F.col("_word_chars"), F.lit(1))
+    mean_word_len = F.col("_word_chars") / nw
+    dup_line_frac = (F.col("n_lines") - F.col("_n_distinct_lines")) / nl
+    dup_line_char_frac = F.col("_dup_line_chars") / lc
+    top_2gram_char_frac = F.coalesce(
+        F.col("_top_cnt") * F.col("_top_gram_chars") / wc, F.lit(0.0)
+    )
+    symbol_word_ratio = F.col("_symbols") / nw
+    bullet_line_frac = F.col("_bullet_lines") / nl
+    ellipsis_line_frac = F.col("_ellipsis_lines") / nl
+    gopher_pass = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+        & (symbol_word_ratio <= 0.1)
+        & (dup_line_frac <= 0.3)
+        & (top_2gram_char_frac <= 0.2)
+        & (bullet_line_frac <= 0.9)
+        & (ellipsis_line_frac <= 0.3)
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        "n_lines",
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
+        F.round(top_2gram_char_frac, 6).alias("top_2gram_char_frac"),
+        F.round(symbol_word_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_line_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_line_frac, 6).alias("ellipsis_line_frac"),
+        gopher_pass.cast("int").alias("gopher_pass"),
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): no alternation, no backreferences, greedy-only —
+# leftmost-greedy and leftmost-longest coincide for these.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style PII scrubbing: redact emails, then IPv4 literals, then
+    phone-like digit runs; count replacements per stage.
+
+    Returns (doc_id, n_emails, n_ipv4, n_phones, redacted).  Counts are
+    taken on each stage's INPUT (i.e. the number of replacements that
+    stage makes); redaction tokens contain no digits so later stages
+    never re-match earlier ones.  Pure column expressions — one
+    projection, no shuffle, scales as a map-only pass at any corpus
+    size.
+    """
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    n_ipv4 = F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PHONE_RE), F.lit(0)))
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        n_phones.cast("long").alias("n_phones"),
+        t3.alias("redacted"),
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    buckets: int = 100,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash.
+
+    bucket = md5-hash32("0|" + key) mod ``buckets``; split boundaries at
+    ``train_pct`` and ``train_pct+val_pct``.  Hashing the KEY (url/doc
+    id), not a random(), makes the split reproducible across reruns,
+    engines, and corpus growth — a doc never migrates between splits
+    when other docs are added.  One projection, no shuffle.
+    """
+    if train_pct + val_pct >= buckets:
+        raise ValueError("train_pct + val_pct must leave room for the test split")
+    bucket = _hash32(F.col(key_col).cast("string"), 0) % buckets
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id",
+        bucket.cast("long").alias("bucket"),
+        split.alias("split"),
+    )

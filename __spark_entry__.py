@@ -2538,6 +2538,171 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over embeddings ∪ exact copies of
+    every 5th vector (shifted ids) — the synthetic embeddings are
+    near-orthogonal (max organic cosine ≈0.49), so the planted copies
+    are exactly the near-dup set and exercise the drop logic with a wide
+    margin from the 0.9 threshold.  Centroids = residue-class means
+    rounded to 6dp (the IVF oracle mode); round_dots/round_cos=6 keep
+    the argmax and threshold compares ulp-immune cross-engine."""
+    from websearchengine_spark.operators.similarity import (
+        ivf_build_centroids,
+        semantic_dedup,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    cents = ivf_build_centroids(emb, nlist=_IVF_NLIST)
+    cents = [[round(float(x), 6) for x in c] for c in cents]
+    return semantic_dedup(
+        emb.unionByName(copies), cents, threshold=0.9, round_dots=6, round_cos=6
+    ).orderBy("vec_id")
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ e AS (SELECT * FROM base
+       UNION ALL SELECT vec_id + 100000, v FROM base WHERE vec_id % 5 = 0),
+ cent AS (SELECT vec_id % {_IVF_NLIST} AS c, {_IVF_CENT_COLS}
+          FROM base GROUP BY 1),
+ centv AS (SELECT c, {_IVF_CENT_LIST} AS cv FROM cent),
+ ass AS (SELECT e.vec_id, e.v,
+           (SELECT c FROM centv
+            ORDER BY round(list_dot_product(centv.cv, e.v), 6) DESC, c
+            LIMIT 1) AS list_id
+         FROM e),
+ dropped AS (SELECT DISTINCT b.vec_id
+   FROM ass a JOIN ass b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+   WHERE round(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9)
+SELECT ass.vec_id, CAST(list_id AS INT) AS list_id,
+       ass.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+FROM ass ORDER BY vec_id"""
+
+
+def _bp_text_spark():
+    """Plant newline structure so corpus-level boilerplate lines exist:
+    every ' scan ' / ' join ' occurrence becomes its own line shared
+    across documents (mirrored in _BP_TEXT_SQL)."""
+    t = F.col("text")
+    t = F.replace(t, F.lit(" scan "), F.lit("\nscan line\n"))
+    t = F.replace(t, F.lit(" join "), F.lit("\njoin line\n"))
+    return t
+
+
+_BP_TEXT_SQL = (
+    "replace(replace(text, ' scan ', chr(10) || 'scan line' || chr(10)), "
+    "' join ', chr(10) || 'join line' || chr(10))"
+)
+_BP_MIN_DOCS = 10
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    """RefinedWeb/CCNet-style boilerplate line removal: lines appearing
+    in >= 10 distinct docs are stripped, remaining lines keep original
+    order.  md5 of the rebuilt text keeps the value-hash compact."""
+    from websearchengine_spark.operators.textstats import strip_boilerplate
+
+    docs = _docs(spark, sf_dir).select("doc_id", _bp_text_spark().alias("text"))
+    return (
+        strip_boilerplate(docs, min_docs=_BP_MIN_DOCS)
+        .select(
+            "doc_id",
+            F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+            "n_removed",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_STRIP_BOILERPLATE = f"""
+WITH g AS (SELECT doc_id, {_BP_TEXT_SQL} AS text FROM documents),
+ l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+      (x, i) -> struct_pack(pos := i, line := x))) AS u FROM g)),
+ bp AS (SELECT line AS bpline FROM l WHERE line <> ''
+        GROUP BY line HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}),
+ m AS (SELECT l.doc_id, l.pos, l.line, bp.bpline IS NOT NULL AS isbp
+       FROM l LEFT JOIN bp ON l.line = bp.bpline)
+SELECT doc_id,
+  md5(coalesce(string_agg(CASE WHEN NOT isbp THEN line END,
+                          chr(10) ORDER BY pos), '')) AS text_md5,
+  CAST(sum(CASE WHEN isbp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM m GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _url_spark():
+    """Deterministic URL synthesis from doc_id (documents carry no url
+    column): varies scheme case, default port, trailing slash, tracking
+    params, and fragments so every normalize_url rule collapses at
+    least one group (mirrored in SQL_URL_DEDUP's u CTE)."""
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("http://")),
+        F.lit("Host"), s(d % 7), F.lit(".COM"),
+        F.when(d % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p"), s(d % 5),
+        F.when(d % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=x&id="), s(d % 11)))
+        .when(d % 4 == 1, F.concat(F.lit("?id="), s(d % 11), F.lit("&fbclid=z")))
+        .when(d % 4 == 2, F.concat(F.lit("?id="), s(d % 11)))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup (the first stage of every web-corpus pipeline):
+    normalize scheme/host case, default ports, trailing slash, tracking
+    params, fragments -> group, count, elect smallest doc_id."""
+    from websearchengine_spark.operators.textstats import url_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", _url_spark().alias("url"))
+    return url_dedup(docs).orderBy("norm_url")
+
+
+SQL_URL_DEDUP = r"""
+WITH u AS (SELECT doc_id,
+   (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+   || 'Host' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+   || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+   || '/p' || CAST(doc_id % 5 AS VARCHAR)
+   || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+   || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&id=' || CAST(doc_id % 11 AS VARCHAR)
+            WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 11 AS VARCHAR) || '&fbclid=z'
+            WHEN doc_id % 4 = 2 THEN '?id=' || CAST(doc_id % 11 AS VARCHAR)
+            ELSE '' END)
+   || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+ n1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS s FROM u),
+ n2 AS (SELECT doc_id, s,
+        regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*') AS head FROM n1),
+ n3 AS (SELECT doc_id,
+    CASE WHEN starts_with(lower(head), 'http://')
+           THEN regexp_replace(lower(head), ':80$', '')
+         WHEN starts_with(lower(head), 'https://')
+           THEN regexp_replace(lower(head), ':443$', '')
+         ELSE lower(head) END AS head_n,
+    substr(s, length(head) + 1) AS rest FROM n2),
+ n4 AS (SELECT doc_id, head_n,
+    regexp_replace(regexp_extract(rest, '^[^?]*'), '/$', '') AS path_n,
+    regexp_extract(rest, '\?(.*)$', 1) AS qs FROM n3),
+ n5 AS (SELECT doc_id, head_n, path_n,
+    array_to_string(list_filter(string_split(qs, '&'),
+      p -> p <> '' AND NOT regexp_matches(p,
+        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid)(=|$)')), '&') AS q_n
+  FROM n4)
+SELECT head_n || path_n
+       || (CASE WHEN q_n <> '' THEN '?' || q_n ELSE '' END) AS norm_url,
+       count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM n5 GROUP BY 1 ORDER BY norm_url"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: full build + conjunctive BM25 WAND top-10."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2606,6 +2771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "pii_redact": q_pii_redact,
         "hash_split": q_hash_split,
+        "semantic_dedup": q_semantic_dedup,
+        "strip_boilerplate": q_strip_boilerplate,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -2668,4 +2836,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": SQL_GOPHER_QUALITY,
         "pii_redact": SQL_PII_REDACT,
         "hash_split": SQL_HASH_SPLIT,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "strip_boilerplate": SQL_STRIP_BOILERPLATE,
+        "url_dedup": SQL_URL_DEDUP,
     }

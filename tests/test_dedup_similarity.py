@@ -886,3 +886,202 @@ def test_new_textstats_entries_match_duckdb_oracles(spark):
         for c in got.columns:
             gv, wv = got_s[c].tolist(), want_s[c].tolist()
             assert gv == wv, f"{key}.{c}: {gv[:5]} != {wv[:5]}"
+
+
+# Round-5 additions: SemDeDup, boilerplate strip, URL normalization
+# --------------------------------------------------------------------------
+
+
+def test_semantic_dedup_known_clusters(spark):
+    """Hand-checked: near-dups within a centroid cluster are dropped
+    (keep = smallest id), cross-cluster near-parallel vectors are NOT
+    compared, singleton clusters survive."""
+    from websearchengine_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),      # near-dup of 0, same cluster
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.995, 0.05]),      # near-dup of 2, same cluster
+        (4, [-1.0, 0.0, 0.0]),        # own cluster, singleton
+        (5, [0.70710678, 0.70710678, 0.0]),  # cluster 0, far from 0/1
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]]
+    got = {r["vec_id"]: (r["list_id"], r["keep"])
+           for r in semantic_dedup(emb, cents, threshold=0.95).collect()}
+    assert got == {0: (0, True), 1: (0, False), 2: (1, True),
+                   3: (1, False), 4: (2, True), 5: (0, True)}
+
+
+def test_semantic_dedup_matches_numpy_oracle(spark):
+    """Randomized-fixture check vs a brute-force oracle of the
+    documented rule: drop b iff some a<b in b's cluster has
+    cos(a,b) >= threshold."""
+    from websearchengine_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(4, 8)
+    vecs = []
+    for i in range(60):
+        c = cents[i % 4]
+        vecs.append(c + 0.25 * rng.randn(8))
+    vecs = np.array(vecs)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(range(60)),
+                      "embedding": [list(map(float, v)) for v in vecs]})
+    )
+    thr = 0.97
+    got = {r["vec_id"]: (r["list_id"], r["keep"])
+           for r in semantic_dedup(
+               emb, [list(map(float, c)) for c in cents], threshold=thr
+           ).collect()}
+
+    # oracle: argmax dot (first max) then pairwise cosine within cluster
+    dots = vecs @ cents.T
+    assign = dots.argmax(axis=1)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    for b in range(60):
+        want_keep = not any(
+            a < b and assign[a] == assign[b] and cos[a, b] >= thr
+            for a in range(60)
+        )
+        assert got[b] == (int(assign[b]), want_keep), b
+    assert 0 < sum(1 for _, k in got.values() if not k) < 60  # non-trivial
+
+
+def test_semantic_dedup_hot_cluster_cap(spark):
+    """A cluster over max_cluster_size is excluded from the self-join:
+    all its members stay KEPT (no silent deletion) and the drop is
+    observed under LAST_BUCKET_DROP_OBS['semantic_dedup']."""
+    from websearchengine_spark.operators import dedup
+    from websearchengine_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0, 0.0]) for i in range(12)] + [
+        (100, [0.0, 1.0]), (101, [0.0, 1.0])]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {r["vec_id"]: r["keep"]
+           for r in semantic_dedup(
+               emb, cents, threshold=0.9, max_cluster_size=10
+           ).collect()}
+    assert all(got[i] for i in range(12))        # capped cluster: all kept
+    assert got[100] and not got[101]             # small cluster still deduped
+    obs = dedup.LAST_BUCKET_DROP_OBS["semantic_dedup"].get
+    assert obs["rows_dropped"] == 12 and obs["rows_total"] == 14
+
+
+def test_semantic_dedup_empty_centroids_raises(spark):
+    from websearchengine_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[1.0]]})
+    )
+    with pytest.raises(ValueError, match="centroids"):
+        semantic_dedup(emb, [])
+
+
+def test_boilerplate_lines_and_strip(spark):
+    """Corpus-level duplicated lines are detected and stripped; line
+    order and empty lines (paragraph breaks) survive; n_removed counts
+    instances; an all-boilerplate doc collapses to empty text."""
+    from websearchengine_spark.operators.textstats import (
+        boilerplate_lines, strip_boilerplate,
+    )
+
+    rows = [(i, f"unique line {i}\ncookie banner\n\nbody {i % 3}\ncookie banner")
+            for i in range(12)]
+    rows.append((12, "cookie banner"))           # all-boilerplate doc
+    rows.append((13, ""))                        # empty doc
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    bp = {(r["line"], r["n_docs"])
+          for r in boilerplate_lines(docs, min_docs=10).collect()}
+    assert bp == {("cookie banner", 13)}        # empty lines never boilerplate
+
+    got = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in strip_boilerplate(docs, min_docs=10).collect()}
+    assert got[0] == ("unique line 0\n\nbody 0", 2)
+    assert got[5] == ("unique line 5\n\nbody 2", 2)
+    assert got[12] == ("", 1)
+    assert got[13] == ("", 0)
+    assert len(got) == 14                        # every input doc present
+
+
+def test_normalize_url_cases(spark):
+    from websearchengine_spark.operators.textstats import normalize_url
+
+    cases = [
+        # fragment dropped, host+scheme lowered, :80 stripped, utm gone,
+        # trailing slash stripped
+        ("HTTP://Example.COM:80/a/b/?utm_source=x&id=1#frag",
+         "http://example.com/a/b?id=1"),
+        ("http://example.com/a/b?id=1", "http://example.com/a/b?id=1"),
+        ("https://Example.com:443/", "https://example.com"),
+        ("https://example.com", "https://example.com"),
+        # param order preserved, path case preserved, non-default port kept
+        ("https://example.com:8443/A/B?z=1&a=2", "https://example.com:8443/A/B?z=1&a=2"),
+        ("https://example.com/p?fbclid=abc&q=Case&utm_x=1&gclid=g",
+         "https://example.com/p?q=Case"),
+        # all params tracking -> no '?'
+        ("https://example.com/p?utm_source=a&msclkid=b", "https://example.com/p"),
+        # utm must be a key prefix, not a substring of a value
+        ("https://example.com/p?q=utm_source", "https://example.com/p?q=utm_source"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(cases)), "url": [c[0] for c in cases]})
+    )
+    got = [r["n"] for r in df.select("i", normalize_url(F.col("url")).alias("n"))
+           .orderBy("i").collect()]
+    assert got == [c[1] for c in cases]
+
+
+def test_url_dedup_groups_and_keeper(spark):
+    from websearchengine_spark.operators.textstats import url_dedup
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "url": [
+            "HTTP://A.com:80/x/#f",
+            "http://a.com/x",
+            "https://b.com/y?utm_source=1",
+            "https://b.com/y",
+            "https://c.com/z",
+        ],
+    }))
+    got = {r["norm_url"]: (r["n_docs"], r["keep_doc_id"])
+           for r in url_dedup(df).collect()}
+    assert got == {"http://a.com/x": (2, 0),
+                   "https://b.com/y": (2, 2),
+                   "https://c.com/z": (1, 4)}
+
+
+def test_semantic_dedup_arrow_and_column_paths_agree(spark):
+    """The vectorized Arrow pair stage (default) and the SQL-oracle
+    column path (round_cos=) are the same operator: identical
+    (vec_id, list_id, keep) on a fixture with organic near-dups."""
+    from websearchengine_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    cents = rng.randn(3, 6)
+    vecs = [cents[i % 3] + 0.3 * rng.randn(6) for i in range(45)]
+    vecs += [vecs[i] for i in range(0, 45, 9)]          # exact copies
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(range(len(vecs))),
+                      "embedding": [list(map(float, v)) for v in vecs]})
+    )
+    cl = [list(map(float, c)) for c in cents]
+    arrow = {(r["vec_id"], r["list_id"], r["keep"])
+             for r in semantic_dedup(emb, cl, threshold=0.95).collect()}
+    column = {(r["vec_id"], r["list_id"], r["keep"])
+              for r in semantic_dedup(emb, cl, threshold=0.95,
+                                      round_cos=9).collect()}
+    assert arrow == column
+    assert sum(1 for _, _, k in arrow if not k) >= 5   # copies dropped

@@ -167,3 +167,58 @@ def test_gopher_stats_plan_single_generate(spark):
     assert len(re.findall(r"\(\d+\) Generate", p)) == 1, p
     # three keyed Exchanges: gram count, per-doc argmax, join co-partition
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3, p
+
+
+def test_normalize_url_plan_map_only(spark):
+    """Round-5 pin: URL normalization is pure column algebra — no
+    Generate, no Exchange — and url_dedup adds exactly ONE keyed
+    Exchange (the groupBy on the normalized key, with a map-side
+    partial aggregate below it)."""
+    import re
+
+    from websearchengine_spark.operators.textstats import normalize_url, url_dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"https://Example.com/p{i}?utm_source=x&id={i}") for i in range(4)],
+        "doc_id long, url string",
+    )
+    p = plan_of(docs.select(normalize_url(F.col("url")).alias("n")), "formatted")
+    assert "Generate" not in p, p
+    assert "Exchange" not in p, p
+    p2 = plan_of(url_dedup(docs), "formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", p2)) == 1, p2
+    assert "partial_count" in p2 or "HashAggregate" in p2, p2
+
+
+def test_semantic_dedup_assignment_is_one_projection(spark):
+    """Round-5 pin: the SemDeDup centroid assignment (argmax of all
+    centroid dots) is ONE explode-free projection — no Generate anywhere
+    in the operator, and the only Exchanges are the list_id-keyed
+    self-join plus the final left join back to the assignment (no
+    row-amplifying stage before the join)."""
+    from websearchengine_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    p = plan_of(
+        semantic_dedup(emb, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9), "formatted"
+    )
+    assert "Generate" not in p, p
+
+
+def test_strip_boilerplate_plan_single_generate_per_scan(spark):
+    """Round-5 pin: boilerplate stripping explodes each document into
+    its own lines exactly once per scan (2 scans: boilerplate vocab +
+    rebuild) — linear in total line count, never a cross-product."""
+    import re
+
+    from websearchengine_spark.operators.textstats import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(i, "a\nshared\nb") for i in range(4)], "doc_id long, text string"
+    )
+    p = plan_of(strip_boilerplate(docs, min_docs=2), "formatted")
+    assert len(re.findall(r"\(\d+\) Generate", p)) <= 2, p

@@ -551,3 +551,121 @@ def ivf_topk(
         assigned = ivf_assign(emb, centroids, id_col, vec_col)
     subset = emb.join(assigned.filter(F.col("list_id").isin(probe)), id_col)
     return cosine_topk(subset, query_vec, k, id_col, vec_col)
+
+
+def _semantic_drops_arrow(pool: DataFrame, threshold: float) -> DataFrame:
+    """Vectorized pair stage for semantic_dedup: ONE shuffle cogroups
+    each cluster (list_id) into an Arrow batch; a numpy Gram matrix of
+    the unit rows marks every _id with a cosine >= threshold neighbor of
+    smaller _id.  Column-blocked (B=4096) so peak memory is O(m·B) per
+    cluster, never m² for huge clusters; zero-norm vectors produce NaN
+    cosines which compare False (never dropped, never drop others) —
+    identical to the SQL path's NULL-compare behavior."""
+    import numpy as np
+    import pandas as pd
+
+    def _drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"_id": pd.Series([], dtype="int64")})
+        V = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            U = V / np.linalg.norm(V, axis=1, keepdims=True)
+        ids = pdf["_id"].to_numpy()
+        hit = np.zeros(n, dtype=bool)
+        B = 4096
+        for j0 in range(0, n, B):
+            j1 = min(j0 + B, n)
+            with np.errstate(invalid="ignore"):
+                ge = (U @ U[j0:j1].T) >= threshold  # n x (j1-j0); NaN -> False
+            if j0 > 0:
+                hit[j0:j1] |= ge[:j0].any(axis=0)
+            hit[j0:j1] |= np.triu(ge[j0:j1], 1).any(axis=0)
+        return pd.DataFrame({"_id": ids[hit]})
+
+    return pool.groupBy("list_id").applyInPandas(_drops, "_id long")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_cos: int | None = None,
+    round_dots: int | None = None,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus.  Assign every vector to its
+    nearest centroid (broadcast dot-product argmax — a projection, no
+    shuffle), compare cosines ONLY within a cluster, and drop each
+    vector that has a near-duplicate (cosine >= threshold) of smaller id
+    in its cluster.  Greedy keep-smallest-id is the paper's "keep one
+    per epsilon-ball" rule with a deterministic keeper: the survivor set
+    is exactly the ids with no kept-or-dropped near-dup before them.
+
+    Returns (id, list_id, keep) for EVERY input vector, keep=false for
+    the dropped ones — callers semi-join or filter as needed.
+
+    Scale: quadratic work is confined to clusters.  nlist grows with the
+    corpus (the SemDeDup paper uses ~#vectors/10k clusters) so the mean
+    cluster stays bounded; ``max_cluster_size`` caps degenerate clusters
+    BEFORE the pair stage with the same observed-drop contract as the
+    LSH ops (``dedup.LAST_BUCKET_DROP_OBS['semantic_dedup']``; a dropped
+    cluster's members are all KEPT — no silent deletion).
+
+    Two pair-stage implementations, one semantics:
+
+    * default (``round_cos is None``): ONE shuffle cogroups each cluster
+      into an Arrow batch and a numpy Gram matrix (unit-row matmul in
+      column blocks, O(block·m) memory) marks the drops — the pairs
+      never exist as rows at all.  ~50x the per-pair throughput of
+      expression folds; memory bounded by ``max_cluster_size``.
+    * oracle mode (``round_cos=N``): pure column algebra — list_id
+      equi-self-join with the cosine rounded to N dp before the
+      threshold compare (and ``round_dots`` the centroid argmax), so a
+      DuckDB mirror running dot/(norm·norm) at the same rounding is
+      bit-reproducible (same rationale as ``ivf_assign(round_dots=)``).
+    """
+    if not centroids:
+        raise ValueError("semantic_dedup: centroids must be non-empty")
+    v = _as_double(F.col(vec_col))
+
+    def _s(c):
+        d = _dot(v, F.array(*[F.lit(float(x)) for x in c]))
+        return F.round(d, round_dots) if round_dots is not None else d
+
+    scores = [_s(c).alias(f"_s{i}") for i, c in enumerate(centroids)]
+    arr = F.array(*[F.col(f"_s{i}") for i in range(len(centroids))])
+    assigned = emb.select(F.col(id_col).alias("_id"), v.alias("_v"), *scores).select(
+        "_id",
+        "_v",
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("list_id"),
+    )
+    pool = _drop_hot_buckets(
+        assigned, ["list_id"], max_cluster_size, "semantic_dedup"
+    )
+    if round_cos is None:
+        dropped = _semantic_drops_arrow(pool, threshold)
+    else:
+        cos = F.round(
+            _dot(F.col("a._v"), F.col("b._v"))
+            / (_norm(F.col("a._v")) * _norm(F.col("b._v"))),
+            round_cos,
+        )
+        dropped = (
+            pool.alias("a")
+            .join(pool.alias("b"), "list_id")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .filter(cos >= F.lit(threshold))
+            .select(F.col("b._id").alias("_id"))
+            .distinct()
+        )
+    dropped = dropped.withColumn("_dropped", F.lit(True))
+    return assigned.join(dropped, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "list_id",
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+    )

@@ -308,3 +308,126 @@ def hash_split(
         bucket.cast("long").alias("bucket"),
         split.alias("split"),
     )
+
+
+def boilerplate_lines(
+    docs: DataFrame, text_col: str = "text", min_docs: int = 10
+) -> DataFrame:
+    """(line, n_docs): non-empty lines appearing in >= ``min_docs``
+    DISTINCT documents — corpus-level boilerplate (nav bars, cookie
+    banners, footers; the exact-line dedup stage of RefinedWeb /
+    CCNet-family pipelines).
+
+    One linear explode (a row per line — no amplification beyond the
+    corpus's own line count) into one distinct-aggregation keyed by
+    line.  The output is aggregated DOWN to the boilerplate vocabulary,
+    typically tiny relative to the corpus."""
+    lines = widen_for_explode(docs).select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias("line"),
+    )
+    return (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame, text_col: str = "text", min_docs: int = 10
+) -> DataFrame:
+    """(doc_id, text, n_removed): every document with its corpus-level
+    boilerplate lines (see ``boilerplate_lines``) removed, remaining
+    lines in original order; n_removed counts removed line INSTANCES.
+
+    Plan shape: explode to one row per line, left-join the (small,
+    aggregated-down — AQE broadcasts it when it fits) boilerplate
+    table on the line key, then ONE groupBy(doc_id) rebuilds the text
+    via array_sort(collect_list(struct(pos, line))) — collect_list
+    drops the null'd boilerplate rows, array_sort restores line order.
+    Empty lines are never boilerplate (paragraph structure survives).
+    Linear in total line count at any corpus size."""
+    bp = (
+        boilerplate_lines(docs, text_col, min_docs)
+        .select("line")
+        .withColumn("_bp", F.lit(True))
+    )
+    lines = widen_for_explode(docs).select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    marked = lines.join(bp, "line", "left")
+    return marked.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_bp").isNull(), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col),
+        F.sum(F.when(F.col("_bp"), 1).otherwise(0)).cast("long").alias("n_removed"),
+    )
+
+
+# tracking query-string keys dropped by normalize_url; anchored,
+# alternation-of-literals only (parses identically under Java regex and
+# RE2 — the pii_redact portability discipline)
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid)(=|$)"
+
+
+def normalize_url(col) -> "F.Column":
+    """Column expression: canonical form of an http(s) URL for
+    URL-level deduplication (the first dedup stage of every web-corpus
+    pipeline).  Rules: drop the fragment; lowercase scheme and
+    host[:port]; strip the scheme's default port (:80 http, :443
+    https); strip tracking query params (utm_*, fbclid, gclid,
+    msclkid, mc_eid) preserving the order of the rest; strip a
+    trailing '/' from the path (so host, host/ and host/a/ vs /a
+    collide).  Path and query case are PRESERVED (paths are
+    case-sensitive on most origins).  Pure column algebra — the query
+    string is split/filtered/rejoined as an array, avoiding
+    global-regex-replace delimiter edge cases; map-only, no shuffle."""
+    u = F.regexp_replace(col, "#.*", "")
+    head = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", 0)
+    head_l = F.lower(head)
+    head_n = (
+        F.when(head_l.startswith("http://"), F.regexp_replace(head_l, ":80$", ""))
+        .when(head_l.startswith("https://"), F.regexp_replace(head_l, ":443$", ""))
+        .otherwise(head_l)
+    )
+    rest = u.substr(F.length(head) + 1, F.length(u))
+    path = F.regexp_extract(rest, "^[^?]*", 0)
+    path_n = F.regexp_replace(path, "/$", "")
+    qs = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    q_n = F.concat_ws("&", params)
+    return F.concat(
+        head_n,
+        path_n,
+        F.when(q_n != "", F.concat(F.lit("?"), q_n)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(norm_url, n_docs, keep_doc_id): group documents by normalized
+    URL (see ``normalize_url``), counting collisions and electing the
+    smallest doc_id as the canonical copy.  One hash aggregation —
+    map-side partial combine, single shuffle on the normalized key."""
+    return (
+        df.select("doc_id", normalize_url(F.col(url_col)).alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

@@ -2552,6 +2552,8 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # +100000 offset mirrors the SQL literal; collision-free because the
+    # driver SFs top out at 5,000 vectors (bench/llmpipe.py asserts it)
     copies = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )

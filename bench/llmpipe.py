@@ -69,6 +69,9 @@ def main():
 
     urls = docs.select("doc_id", entry._url_spark().alias("url"))
     bp_docs = docs.select("doc_id", entry._bp_text_spark().alias("text"))
+    # the +100000 copy-id offset mirrors q_semantic_dedup's SQL literal;
+    # it only stays collision-free below 100k originals
+    assert n_vecs < 100000, f"copy-id offset collides at {n_vecs} vectors"
     copies = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )

@@ -1085,3 +1085,50 @@ def test_semantic_dedup_arrow_and_column_paths_agree(spark):
                                       round_cos=9).collect()}
     assert arrow == column
     assert sum(1 for _, _, k in arrow if not k) >= 5   # copies dropped
+
+
+def test_semantic_dedup_dirty_and_zero_vectors_survive_both_paths(spark):
+    """NULL / empty / null-element vectors get list_id NULL + keep=true
+    (excluded from the pair stage, never silently deleted); zero-NORM
+    vectors are assigned but their NaN/NULL cosines compare false.
+    Both the Arrow default and the round_cos oracle path — neither may
+    crash (ANSI divide, numpy object arrays) nor drop a clean vector's
+    verdict."""
+    from websearchengine_spark.operators.similarity import semantic_dedup
+
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3, 4, 5, 6],
+        "embedding": [
+            [1.0, 0.0],
+            [0.999, 0.01],      # near-dup of 0 -> dropped
+            None,               # NULL vector
+            None,               # second NULL (cogrouped together)
+            [],                 # empty vector
+            [0.0, 0.0],         # zero-norm
+            [1.0, None],        # null element
+        ],
+    })
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    for kwargs in ({}, {"round_cos": 6, "round_dots": 6}):
+        got = {r["vec_id"]: (r["list_id"], r["keep"])
+               for r in semantic_dedup(emb, cents, threshold=0.95,
+                                       **kwargs).collect()}
+        assert len(got) == 7, kwargs
+        assert got[0] == (0, True) and got[1] == (0, False), (kwargs, got)
+        for vid in (2, 3, 4, 6):
+            assert got[vid] == (None, True), (kwargs, vid, got)
+        assert got[5][1] is True, (kwargs, got)  # zero-norm kept
+
+
+def test_url_dedup_null_urls_excluded(spark):
+    """NULL urls must not collapse into one bogus duplicate group."""
+    from websearchengine_spark.operators.textstats import url_dedup
+
+    df = spark.createDataFrame(
+        [(0, "https://a.com/x"), (1, None), (2, None), (3, "https://a.com/x")],
+        "doc_id long, url string",
+    )
+    got = {r["norm_url"]: (r["n_docs"], r["keep_doc_id"])
+           for r in url_dedup(df).collect()}
+    assert got == {"https://a.com/x": (2, 0)}

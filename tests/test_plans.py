@@ -192,11 +192,13 @@ def test_normalize_url_plan_map_only(spark):
 
 
 def test_semantic_dedup_assignment_is_one_projection(spark):
-    """Round-5 pin: the SemDeDup centroid assignment (argmax of all
-    centroid dots) is ONE explode-free projection — no Generate anywhere
-    in the operator, and the only Exchanges are the list_id-keyed
-    self-join plus the final left join back to the assignment (no
-    row-amplifying stage before the join)."""
+    """Round-5 pin: the SemDeDup default path has no Generate (no row
+    amplification anywhere) and at most 4 Exchanges — the list_id
+    cogroup for the Arrow pair stage plus the final id-keyed keep join
+    (both sides; AQE converts the tiny drop side to broadcast at
+    runtime) — never a pair-materializing stage."""
+    import re
+
     from websearchengine_spark.operators.similarity import semantic_dedup
 
     emb = spark.createDataFrame(
@@ -207,6 +209,7 @@ def test_semantic_dedup_assignment_is_one_projection(spark):
         semantic_dedup(emb, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9), "formatted"
     )
     assert "Generate" not in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4, p
 
 
 def test_strip_boilerplate_plan_single_generate_per_scan(spark):

@@ -577,8 +577,10 @@ def _semantic_drops_arrow(pool: DataFrame, threshold: float) -> DataFrame:
         B = 4096
         for j0 in range(0, n, B):
             j1 = min(j0 + B, n)
+            # rows >= j1 are never read (only i < j matters), so the
+            # slice stops at j1 — half the matmul flops of a full Gram
             with np.errstate(invalid="ignore"):
-                ge = (U @ U[j0:j1].T) >= threshold  # n x (j1-j0); NaN -> False
+                ge = (U[:j1] @ U[j0:j1].T) >= threshold  # j1 x (j1-j0); NaN -> False
             if j0 > 0:
                 hit[j0:j1] |= ge[:j0].any(axis=0)
             hit[j0:j1] |= np.triu(ge[j0:j1], 1).any(axis=0)
@@ -616,44 +618,71 @@ def semantic_dedup(
     LSH ops (``dedup.LAST_BUCKET_DROP_OBS['semantic_dedup']``; a dropped
     cluster's members are all KEPT — no silent deletion).
 
-    Two pair-stage implementations, one semantics:
+    Two implementations per stage, one semantics:
 
-    * default (``round_cos is None``): ONE shuffle cogroups each cluster
-      into an Arrow batch and a numpy Gram matrix (unit-row matmul in
-      column blocks, O(block·m) memory) marks the drops — the pairs
-      never exist as rows at all.  ~50x the per-pair throughput of
-      expression folds; memory bounded by ``max_cluster_size``.
-    * oracle mode (``round_cos=N``): pure column algebra — list_id
-      equi-self-join with the cosine rounded to N dp before the
-      threshold compare (and ``round_dots`` the centroid argmax), so a
-      DuckDB mirror running dot/(norm·norm) at the same rounding is
-      bit-reproducible (same rationale as ``ivf_assign(round_dots=)``).
+    * assignment: ``round_dots is None`` (default) reuses
+      ``_assign_inline`` — ONE mapInPandas matmul-argmax pass with the
+      centroid matrix broadcast (the measured scale path; the SQL
+      expression route evaluates nlist folds PER ROW).  ``round_dots=N``
+      keeps the expression route with rounded dots for the DuckDB
+      mirror.  Ties break to the first max under both.
+    * pair stage: default (``round_cos is None``) ONE shuffle cogroups
+      each cluster into an Arrow batch and a numpy Gram matrix
+      (unit-row matmul in column blocks, O(block·m) memory) marks the
+      drops — the pairs never exist as rows at all.  ~50x the per-pair
+      throughput of expression folds; memory bounded by
+      ``max_cluster_size``.  Oracle mode (``round_cos=N``): pure column
+      algebra — list_id equi-self-join with the cosine rounded to N dp
+      before the threshold compare, so a DuckDB mirror running
+      dot/(norm·norm) at the same rounding is bit-reproducible.
+
+    Dirty vectors (NULL, zero-length, or containing NULL elements) get
+    ``list_id`` NULL and ``keep`` true — they cannot be anyone's
+    near-duplicate, are excluded from the pair stage, and are never
+    silently deleted.  Zero-NORM vectors are assigned but their cosines
+    are NaN/NULL, which compare false on both paths: kept, and never
+    drop others.  The final keep join is an id equi-join against the
+    (typically tiny) drop set; AQE sizes the post-shuffle drop side at
+    runtime and converts to a broadcast join when it fits.
     """
     if not centroids:
         raise ValueError("semantic_dedup: centroids must be non-empty")
     v = _as_double(F.col(vec_col))
-
-    def _s(c):
-        d = _dot(v, F.array(*[F.lit(float(x)) for x in c]))
-        return F.round(d, round_dots) if round_dots is not None else d
-
-    scores = [_s(c).alias(f"_s{i}") for i, c in enumerate(centroids)]
-    arr = F.array(*[F.col(f"_s{i}") for i in range(len(centroids))])
-    assigned = emb.select(F.col(id_col).alias("_id"), v.alias("_v"), *scores).select(
-        "_id",
-        "_v",
-        (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("list_id"),
+    base = emb.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    dirty = (
+        F.col("_v").isNull()
+        | (F.size("_v") == 0)
+        | F.exists("_v", lambda x: x.isNull())
     )
-    pool = _drop_hot_buckets(
-        assigned, ["list_id"], max_cluster_size, "semantic_dedup"
+    clean = base.filter(~dirty)
+    if round_dots is None:
+        ac, _cb = _assign_inline(clean, centroids, "_v")  # nlist x dim bc; GC'd
+    else:
+
+        def _s(c):
+            d = _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in c]))
+            return F.round(d, round_dots)
+
+        scores = [_s(c).alias(f"_s{i}") for i, c in enumerate(centroids)]
+        arr = F.array(*[F.col(f"_s{i}") for i in range(len(centroids))])
+        ac = clean.select("_id", "_v", *scores).select(
+            "_id",
+            "_v",
+            (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("list_id"),
+        )
+    assigned = ac.unionByName(
+        base.filter(dirty).withColumn("list_id", F.lit(None).cast("int"))
     )
+    pool = _drop_hot_buckets(ac, ["list_id"], max_cluster_size, "semantic_dedup")
     if round_cos is None:
         dropped = _semantic_drops_arrow(pool, threshold)
     else:
-        cos = F.round(
-            _dot(F.col("a._v"), F.col("b._v"))
-            / (_norm(F.col("a._v")) * _norm(F.col("b._v"))),
-            round_cos,
+        denom = _norm(F.col("a._v")) * _norm(F.col("b._v"))
+        # when-guard, not a filter: ANSI mode raises on the 0/0 a filter
+        # would only hide after reorder; NULL cosine compares false
+        cos = F.when(
+            denom != F.lit(0.0),
+            F.round(_dot(F.col("a._v"), F.col("b._v")) / denom, round_cos),
         )
         dropped = (
             pool.alias("a")

@@ -422,9 +422,15 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     """(norm_url, n_docs, keep_doc_id): group documents by normalized
     URL (see ``normalize_url``), counting collisions and electing the
     smallest doc_id as the canonical copy.  One hash aggregation —
-    map-side partial combine, single shuffle on the normalized key."""
+    map-side partial combine, single shuffle on the normalized key.
+
+    Rows with a NULL url are EXCLUDED: groupBy treats NULL as one key,
+    so a crawl shard of missing-url docs would otherwise collapse into
+    a single bogus "duplicate" group with one elected keeper.  Callers
+    union missing-url docs back as keepers."""
     return (
-        df.select("doc_id", normalize_url(F.col(url_col)).alias("norm_url"))
+        df.filter(F.col(url_col).isNotNull())
+        .select("doc_id", normalize_url(F.col(url_col)).alias("norm_url"))
         .groupBy("norm_url")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

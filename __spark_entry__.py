@@ -2705,6 +2705,50 @@ SELECT head_n || path_n
 FROM n5 GROUP BY 1 ORDER BY norm_url"""
 
 
+def q_scrub_repeated(spark, sf_dir):
+    """Lee-et-al-style repeated-window scrub: 8-token windows occurring
+    >= 2 times across the corpus are removed from every document (~45
+    of 500 docs affected at the driver SFs — a non-trivial mix).  md5
+    of the rebuilt token stream keeps the value hash compact."""
+    from websearchengine_spark.operators.dedup import scrub_repeated_ngrams
+
+    out = scrub_repeated_ngrams(
+        _docs(spark, sf_dir).select("doc_id", "text"), n=8, min_count=2
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+SQL_SCRUB_REPEATED = r"""
+WITH base AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents),
+ g AS (SELECT doc_id, u.start AS start, u.gram AS gram FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+      i -> struct_pack(start := i,
+             gram := lower(array_to_string(toks[i:i+7], ' '))))) AS u
+    FROM base)),
+ rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+ cov0 AS (SELECT doc_id, unnest(generate_series(start, start + 7)) AS pos
+          FROM g JOIN rep USING (gram)),
+ cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+ t AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id, unnest(list_transform(toks,
+      (x, i) -> struct_pack(pos := i, tok := x))) AS u FROM base)),
+ m AS (SELECT t.doc_id, t.pos, t.tok, cov.pos IS NOT NULL AS isc
+       FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos),
+ agg AS (SELECT doc_id,
+      string_agg(CASE WHEN NOT isc THEN tok END, ' ' ORDER BY pos) AS txt,
+      CAST(sum(CASE WHEN isc THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM m GROUP BY doc_id)
+SELECT b.doc_id, md5(coalesce(a.txt, '')) AS text_md5,
+       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: full build + conjunctive BM25 WAND top-10."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2776,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "strip_boilerplate": q_strip_boilerplate,
         "url_dedup": q_url_dedup,
+        "scrub_repeated_ngrams": q_scrub_repeated,
     }
 
 
@@ -2841,4 +2886,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "strip_boilerplate": SQL_STRIP_BOILERPLATE,
         "url_dedup": SQL_URL_DEDUP,
+        "scrub_repeated_ngrams": SQL_SCRUB_REPEATED,
     }

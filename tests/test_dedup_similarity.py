@@ -1132,3 +1132,68 @@ def test_url_dedup_null_urls_excluded(spark):
     got = {r["norm_url"]: (r["n_docs"], r["keep_doc_id"])
            for r in url_dedup(df).collect()}
     assert got == {"https://a.com/x": (2, 0)}
+
+
+def test_scrub_repeated_ngrams_known_fixture(spark):
+    """Hand-checked Lee-et-al-style repeated-window scrub: a 5-gram
+    shared (case-insensitively) by 4 docs is removed everywhere;
+    sub-threshold windows, short docs, and empty docs are untouched; a
+    fully-covered doc returns empty text rather than vanishing."""
+    from websearchengine_spark.operators.dedup import scrub_repeated_ngrams
+
+    rows = [
+        (0, "alpha beta gamma delta THE quick brown fox unique zero tail"),
+        (1, "one two the QUICK brown fox unique one xx yy"),
+        (2, "prefix2 the quick BROWN fox unique two zz"),
+        (3, "short doc"),
+        (4, ""),
+        (5, "the quick brown fox unique"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in scrub_repeated_ngrams(docs, n=5, min_count=3).collect()}
+    assert got[0] == ("alpha beta gamma delta zero tail", 5)
+    assert got[1] == ("one two one xx yy", 5)       # original case rebuilt
+    assert got[2] == ("prefix2 two zz", 5)
+    assert got[3] == ("short doc", 0)               # < n tokens: no windows
+    assert got[4] == ("", 0)
+    assert got[5] == ("", 5)                        # fully covered, not dropped
+    assert len(got) == 6
+
+
+def test_scrub_repeated_ngrams_matches_python_oracle(spark):
+    """Brute-force mirror of the documented rule on a generated corpus
+    with overlapping repeated windows (overlap => covered-position
+    union, not double-removal)."""
+    from websearchengine_spark.operators.dedup import scrub_repeated_ngrams
+
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(12)]
+    planted = "p1 p2 p3 p4 p5 p6"              # 3 overlapping 4-windows
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(30))
+        + (f" {planted}" if d % 3 == 0 else "")
+        for d in range(25)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(25), "text": texts})
+    )
+    n, mc = 4, 3
+    got = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in scrub_repeated_ngrams(docs, n=n, min_count=mc).collect()}
+
+    from collections import Counter
+    toks = [t.split() for t in texts]
+    counts = Counter(
+        " ".join(tk[i:i + n]) for tk in toks for i in range(len(tk) - n + 1)
+    )
+    for d, tk in enumerate(toks):
+        cov = set()
+        for i in range(len(tk) - n + 1):
+            if counts[" ".join(tk[i:i + n])] >= mc:
+                cov.update(range(i, i + n))
+        want = " ".join(t for i, t in enumerate(tk) if i not in cov)
+        assert got[d] == (want, len(cov)), d
+    assert any(nr > 0 for _, nr in got.values())    # non-trivial fixture

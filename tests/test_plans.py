@@ -225,3 +225,22 @@ def test_strip_boilerplate_plan_single_generate_per_scan(spark):
     )
     p = plan_of(strip_boilerplate(docs, min_docs=2), "formatted")
     assert len(re.findall(r"\(\d+\) Generate", p)) <= 2, p
+
+
+def test_scrub_repeated_ngrams_plan_linear_generates(spark):
+    """Round-5 pin: the repeated-window scrub emits windows (not
+    window x token rows) and stays linear — at most 4 Generates (the
+    gram-window explode appears TWICE because the count pass and the
+    hit-join pass each recompute it rather than caching corpus-sized
+    window rows, plus covered-span expansion bounded by hits x n and
+    the token posexplode), never a pairwise or token-amplified stage."""
+    import re
+
+    from websearchengine_spark.operators.dedup import scrub_repeated_ngrams
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)],
+        "doc_id long, text string",
+    )
+    p = plan_of(scrub_repeated_ngrams(docs, n=4, min_count=2), "formatted")
+    assert len(re.findall(r"\(\d+\) Generate", p)) <= 4, p

@@ -568,3 +568,90 @@ def ngram_decontaminate(
     )
     clean = docs.join(flagged.select("doc_id"), "doc_id", "anti")
     return clean, flagged
+
+
+def scrub_repeated_ngrams(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-substring scrubbing (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    token-window approximation of ExactSubstr): every n-token window
+    whose occurrence count across the WHOLE corpus reaches
+    ``min_count`` is removed from every document (all occurrences),
+    leaving the surviving tokens in order.
+
+    Returns (id, text, n_removed) for EVERY input document — text is
+    the scrubbed token stream joined with single spaces (whitespace is
+    normalized; original token case survives; window matching is
+    case-insensitive), n_removed counts removed token instances.  A
+    fully-repeated document comes back with empty text, never silently
+    vanishes.
+
+    Scale shape (all linear in total token count — no doc x doc work):
+    a windows-not-tokens explode emits (doc, start, gram) rows; ONE
+    aggregation reduces them to the repeated-gram vocabulary (tiny —
+    AQE broadcasts it into the hit join when it fits); hits expand to
+    covered (doc, pos) pairs bounded by hits x n; the rebuild is one
+    posexplode of tokens, a co-keyed left join against covered, and ONE
+    groupBy(doc) reassembly via array_sort(collect_list) — the same
+    rebuild shape as textstats.strip_boilerplate.  The window explode
+    is deliberately RECOMPUTED on the hit-join branch instead of
+    cached: two linear scans beat materializing corpus-sized window
+    rows (pinned in test_plans.py at <= 4 Generates)."""
+    toks_raw = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    base = widen_for_explode(docs).select(
+        F.col(id_col).alias("_id"), toks_raw.alias("_toks")
+    )
+    # windows over the LOWERCASED tokens; same sequence guard as
+    # token_ngrams (a doc with < n tokens has no windows, not a crash)
+    low = F.transform(F.col("_toks"), F.lower)
+    idx = F.when(
+        F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    win = F.transform(idx, lambda i: F.struct(
+        i.alias("start"), F.array_join(F.slice(low, i, n), " ").alias("gram")
+    ))
+    grams = base.select("_id", F.explode(win).alias("w")).select(
+        "_id", F.col("w.start").alias("start"), F.col("w.gram").alias("gram")
+    )
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("gram")
+    )
+    covered = (
+        grams.join(repeated, "gram")
+        .select(
+            "_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(True))
+    )
+    tok_rows = base.select(
+        "_id", F.posexplode_outer("_toks").alias("pos0", "tok")
+    ).select("_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    marked = tok_rows.join(covered, ["_id", "pos"], "left")
+    return marked.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_cov").isNull(), F.struct("pos", "tok"))
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias(text_col),
+        F.sum(F.when(F.col("_cov"), 1).otherwise(0)).cast("long").alias("n_removed"),
+    ).withColumnRenamed("_id", id_col)

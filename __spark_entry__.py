@@ -2749,6 +2749,235 @@ SELECT b.doc_id, md5(coalesce(a.txt, '')) AS text_md5,
 FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id"""
 
 
+def _clean_text_spark():
+    """Deterministic per-doc text for the clean_corpus entry, planting
+    every pipeline stage's trigger: exact-dup pairs keyed by doc_id//2
+    (ids 20m+6 / 20m+7 share a 60-word synthetic body — exactly TWO
+    copies, below the scrub's min_count=3, so the pair survives the
+    repeated-window scrub and is caught by the exact near-dup stage
+    AFTER redaction+stripping equalize the docs); tiny quality-fail
+    docs at doc_id%10==9; a corpus-wide boilerplate line at doc_id%3==0;
+    a per-doc PII suffix on every doc (redaction-equalized)."""
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    dup_body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.concat(F.lit("w"), s(F.floor(d / 2)), F.lit("x"), s(i)),
+        ),
+    )
+    base = (
+        F.when((d % 20).isin(6, 7), dup_body)
+        .when(d % 10 == 9, F.concat(F.lit("tiny doc "), s(d)))
+        .otherwise(F.col("text"))
+    )
+    pii = F.concat(
+        F.lit(" contact user"), s(d), F.lit("@example.com from 10."),
+        s(d % 250), F.lit(".0.1 call 555-01"),
+        F.lpad(s(d % 100), 2, "0"), F.lit("-9876 bye"),
+    )
+    bp = F.when(d % 3 == 0, F.lit("\nSubscribe to our newsletter today")).otherwise(
+        F.lit("")
+    )
+    return F.concat(base, pii, bp)
+
+
+def q_clean_corpus(spark, sf_dir):
+    """The WHOLE cleaning pipeline in one call — URL dedup -> PII
+    redact -> boilerplate strip -> repeated-window scrub -> Gopher
+    quality filter -> exact near-dup collapse -> hash split — over
+    documents with synthesized urls + planted stage triggers; per-doc
+    audit row (status, cleaned-text md5, stage counters, split)."""
+    from websearchengine_spark.operators.pipeline import clean_corpus
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _url_spark().alias("url"), _clean_text_spark().alias("text")
+    )
+    out = clean_corpus(
+        docs, boilerplate_min_docs=10, scrub_n=8, scrub_min_count=3,
+        near_dup="exact",
+    )
+    # NULL-able numeric columns surface as float64 through the driver's
+    # pandas hop and hash-mismatch the BIGINT side — sentinel-coalesce
+    # (-1 = "stage never ran") keeps every column non-null and typed
+    m1 = F.lit(-1).cast("long")
+    return out.select(
+        "doc_id", "status",
+        F.coalesce(F.md5(F.encode("text", "UTF-8")), F.lit("")).alias("text_md5"),
+        F.coalesce("n_pii", m1).alias("n_pii"),
+        F.coalesce("n_boilerplate", m1).alias("n_boilerplate"),
+        F.coalesce("n_scrubbed", m1).alias("n_scrubbed"),
+        F.coalesce("bucket", m1).alias("bucket"),
+        F.coalesce("split", F.lit("-")).alias("split"),
+    ).orderBy("doc_id")
+
+
+def _sql_clean_corpus() -> str:
+    from websearchengine_spark.operators.textstats import (
+        EMAIL_RE, IPV4_RE, PHONE_RE,
+    )
+
+    return f"""
+WITH d0 AS (SELECT doc_id,
+   (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+   || 'Host' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+   || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+   || '/p' || CAST(doc_id % 5 AS VARCHAR)
+   || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+   || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&id=' || CAST(doc_id % 11 AS VARCHAR)
+            WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 11 AS VARCHAR) || '&fbclid=z'
+            WHEN doc_id % 4 = 2 THEN '?id=' || CAST(doc_id % 11 AS VARCHAR)
+            ELSE '' END)
+   || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url,
+   (CASE WHEN doc_id % 20 IN (6, 7) THEN
+       array_to_string(list_transform(generate_series(1, 60),
+         i -> 'w' || CAST(doc_id // 2 AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ')
+     WHEN doc_id % 10 = 9 THEN 'tiny doc ' || CAST(doc_id AS VARCHAR)
+     ELSE text END)
+   || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.'
+   || CAST(doc_id % 250 AS VARCHAR) || '.0.1 call 555-01'
+   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-9876 bye'
+   || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter today'
+       ELSE '' END) AS text
+  FROM documents),
+ n2 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS s FROM d0),
+ n3 AS (SELECT doc_id, s,
+        regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*') AS head FROM n2),
+ n4 AS (SELECT doc_id,
+    CASE WHEN starts_with(lower(head), 'http://')
+           THEN regexp_replace(lower(head), ':80$', '')
+         WHEN starts_with(lower(head), 'https://')
+           THEN regexp_replace(lower(head), ':443$', '')
+         ELSE lower(head) END AS head_n,
+    substr(s, length(head) + 1) AS rest FROM n3),
+ n5 AS (SELECT doc_id, head_n,
+    regexp_replace(regexp_extract(rest, '^[^?]*'), '/$', '') AS path_n,
+    regexp_extract(rest, '\\?(.*)$', 1) AS qs FROM n4),
+ nu AS (SELECT doc_id, head_n || path_n ||
+    (CASE WHEN q_n <> '' THEN '?' || q_n ELSE '' END) AS norm_url FROM
+    (SELECT doc_id, head_n, path_n,
+       array_to_string(list_filter(string_split(qs, '&'),
+         p -> p <> '' AND NOT regexp_matches(p,
+           '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid)(=|$)')), '&') AS q_n
+     FROM n5)),
+ ukeep AS (SELECT norm_url, min(doc_id) AS keep FROM nu GROUP BY 1),
+ url_losers AS (SELECT nu.doc_id FROM nu JOIN ukeep USING (norm_url)
+                WHERE nu.doc_id <> ukeep.keep),
+ surv AS (SELECT d0.doc_id, d0.text FROM d0
+          LEFT JOIN url_losers ul ON d0.doc_id = ul.doc_id
+          WHERE ul.doc_id IS NULL),
+ s1 AS (SELECT doc_id,
+    len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+    regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM surv),
+ s2 AS (SELECT doc_id, n_emails,
+    len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ipv4,
+    regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2 FROM s1),
+ red AS (SELECT doc_id,
+    CAST(n_emails + n_ipv4
+         + len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_pii,
+    regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS text FROM s2),
+ bl AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+      (x, i) -> struct_pack(pos := i, line := x))) AS u FROM red)),
+ bpv AS (SELECT line AS bpline FROM bl WHERE line <> ''
+         GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+ bm AS (SELECT bl.doc_id, bl.pos, bl.line, bpv.bpline IS NOT NULL AS isbp
+        FROM bl LEFT JOIN bpv ON bl.line = bpv.bpline),
+ sb AS (SELECT doc_id,
+    coalesce(string_agg(CASE WHEN NOT isbp THEN line END,
+                        chr(10) ORDER BY pos), '') AS text,
+    CAST(sum(CASE WHEN isbp THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+  FROM bm GROUP BY doc_id),
+ tb AS (SELECT doc_id, n_boilerplate,
+    list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM sb),
+ g AS (SELECT doc_id, u.start AS start, u.gram AS gram FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+      i -> struct_pack(start := i,
+             gram := lower(array_to_string(toks[i:i+7], ' '))))) AS u
+    FROM tb)),
+ rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 3),
+ cov AS (SELECT DISTINCT doc_id, pos FROM
+    (SELECT doc_id, unnest(generate_series(start, start + 7)) AS pos
+     FROM g JOIN rep USING (gram))),
+ tkr AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id, unnest(list_transform(toks,
+      (x, i) -> struct_pack(pos := i, tok := x))) AS u FROM tb)),
+ sm AS (SELECT t.doc_id, t.pos, t.tok, cov.pos IS NOT NULL AS isc
+        FROM tkr t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos),
+ sagg AS (SELECT doc_id,
+    coalesce(string_agg(CASE WHEN NOT isc THEN tok END, ' ' ORDER BY pos), '')
+      AS text,
+    CAST(sum(CASE WHEN isc THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed
+  FROM sm GROUP BY doc_id),
+ sc AS (SELECT tb.doc_id, tb.n_boilerplate, red.n_pii,
+        coalesce(sagg.text, '') AS text,
+        coalesce(sagg.n_scrubbed, CAST(0 AS BIGINT)) AS n_scrubbed
+    FROM tb LEFT JOIN sagg ON tb.doc_id = sagg.doc_id
+    JOIN red ON tb.doc_id = red.doc_id),
+ gb AS (SELECT doc_id, text,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks,
+    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+  FROM sc),
+ gf AS (SELECT doc_id, toks,
+    len(toks) AS n_words,
+    coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS word_chars,
+    len(lines) AS n_lines,
+    len(list_distinct(lines)) AS n_distinct_lines,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) / 3 AS symbols,
+    len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* '))) AS bullet_lines,
+    len(list_filter(lines, l -> ends_with(l, '...'))) AS ellipsis_lines
+  FROM gb),
+ gg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END) AS gram
+  FROM gf),
+ gtop AS (SELECT doc_id, cnt AS top_cnt, length(gram) - 1 AS top_gram_chars
+  FROM (SELECT doc_id, gram, count(*) AS cnt,
+          row_number() OVER (PARTITION BY doc_id
+                             ORDER BY count(*) DESC, gram ASC) AS rn
+        FROM gg GROUP BY doc_id, gram) WHERE rn = 1),
+ qp AS (SELECT f.doc_id,
+    CASE WHEN f.n_words BETWEEN 50 AND 100000
+          AND word_chars * 1.0 / greatest(n_words, 1) BETWEEN 3 AND 10
+          AND symbols / greatest(n_words, 1) <= 0.1
+          AND (n_lines - n_distinct_lines) * 1.0 / greatest(n_lines, 1) <= 0.3
+          AND coalesce(top_cnt * top_gram_chars * 1.0
+                       / greatest(word_chars, 1), 0.0) <= 0.2
+          AND bullet_lines * 1.0 / greatest(n_lines, 1) <= 0.9
+          AND ellipsis_lines * 1.0 / greatest(n_lines, 1) <= 0.3
+     THEN 1 ELSE 0 END AS gopher_pass
+  FROM gf f LEFT JOIN gtop ON f.doc_id = gtop.doc_id),
+ dk AS (SELECT md5(text) AS k, min(doc_id) AS keep
+        FROM sc JOIN qp USING (doc_id) WHERE gopher_pass = 1 GROUP BY 1),
+ st AS (SELECT sc.doc_id, sc.text, sc.n_pii, sc.n_boilerplate, sc.n_scrubbed,
+    CASE WHEN qp.gopher_pass = 0 THEN 'quality'
+         WHEN dk.keep <> sc.doc_id THEN 'near_dup'
+         ELSE 'kept' END AS status
+  FROM sc JOIN qp USING (doc_id)
+  LEFT JOIN dk ON qp.gopher_pass = 1 AND md5(sc.text) = dk.k)
+SELECT doc_id, status, md5(text) AS text_md5,
+   n_pii, n_boilerplate, n_scrubbed,
+   CASE WHEN status = 'kept' THEN
+     CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+   ELSE CAST(-1 AS BIGINT) END AS bucket,
+   CASE WHEN status = 'kept' THEN
+     (CASE WHEN CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+           WHEN CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+           ELSE 'test' END)
+   ELSE '-' END AS split
+FROM st
+UNION ALL
+SELECT doc_id, 'url_dup', '', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), '-' FROM url_losers
+ORDER BY doc_id"""
+
+
+SQL_CLEAN_CORPUS = _sql_clean_corpus()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: full build + conjunctive BM25 WAND top-10."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2821,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "url_dedup": q_url_dedup,
         "scrub_repeated_ngrams": q_scrub_repeated,
+        "clean_corpus_report": q_clean_corpus,
     }
 
 
@@ -2887,4 +3117,5 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": SQL_STRIP_BOILERPLATE,
         "url_dedup": SQL_URL_DEDUP,
         "scrub_repeated_ngrams": SQL_SCRUB_REPEATED,
+        "clean_corpus_report": SQL_CLEAN_CORPUS,
     }

@@ -119,9 +119,9 @@ def test_all_54_plus_registered_entries_run_here(contract):
     """The driver gate samples 50 of the registered entries per round; the
     local contract parametrizes over ALL of them at BOTH SFs, so a sample
     rotation can never land on a silently-stale entry (r4 verdict item 4:
-    61 registered as of round 5 — this pins the floor explicitly)."""
+    62 registered as of round 5 — this pins the floor explicitly)."""
     qs, _ = contract
-    assert len(qs) >= 61, f"registry shrank: {len(qs)} entries"
+    assert len(qs) >= 62, f"registry shrank: {len(qs)} entries"
     assert set(_names()) == set(qs)  # every one is in the parametrization
 
 

@@ -1,0 +1,226 @@
+"""End-to-end web-corpus cleaning pipeline for LLM training data.
+
+``clean_corpus`` composes the individually-tested pipeline stages
+(URL dedup -> PII redaction -> boilerplate line removal ->
+repeated-window scrub -> Gopher quality filter -> near-dup collapse ->
+train/val/test split) into one call with a per-document audit trail —
+the C4/RefinedWeb-family recipe expressed as a single Spark lineage.
+
+Reference parity note: the reference engine (owwlo/WebSearchEngine) has
+no corpus-cleaning tier; this module is part of the training-data
+extension mandated for the Spark port (SURVEY.md "beyond the
+reference" items), built entirely from this repo's own stage
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from websearchengine_spark.operators.dedup import (
+    duplicate_clusters,
+    minhash_lsh_pairs,
+    scrub_repeated_ngrams,
+)
+from websearchengine_spark.operators.textstats import (
+    gopher_stats,
+    hash_split,
+    pii_redact,
+    strip_boilerplate,
+    url_dedup,
+)
+
+#: status values, in the order the stages run — a doc's status is the
+#: FIRST stage that dropped it (later stages never see it)
+STATUSES = ("url_dup", "quality", "near_dup", "kept")
+
+
+def clean_corpus(
+    docs: DataFrame,
+    url_col: str | None = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boilerplate_min_docs: int = 10,
+    scrub_n: int | None = 8,
+    scrub_min_count: int = 2,
+    quality: bool = True,
+    near_dup: str | None = "exact",
+    minhash_kwargs: dict | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run the full cleaning pipeline; return one row per INPUT doc:
+
+      (doc_id, status, text, n_pii, n_boilerplate, n_scrubbed,
+       bucket, split)
+
+    ``status`` is 'kept' or the first stage that dropped the doc
+    ('url_dup' | 'quality' | 'near_dup').  ``text`` is the fully
+    cleaned text for every doc that survived the URL stage (dropped-
+    for-quality docs keep their cleaned text too — useful for filter
+    auditing); NULL for url_dup drops, which never enter the text
+    stages.  ``split``/``bucket`` are assigned only to kept docs.
+
+    Stage order (the standard pipeline ordering, each reason noted):
+
+    1. URL dedup (skipped when ``url_col`` is None or absent): crawl-
+       level exact dedup is the cheapest filter, so it runs first;
+       smallest doc_id per normalized URL wins, NULL-url docs pass.
+    2. PII redaction (C4): a pure map; runs before line dedup so that
+       redaction-equalized lines (the same <EMAIL> boilerplate in
+       every footer) are visible to stage 3.
+    3. Boilerplate line removal (RefinedWeb/CCNet): corpus-level, so
+       its ``min_docs`` threshold counts only URL-surviving docs.
+    4. Repeated-window scrub (Lee et al. ExactSubstr family; skipped
+       when ``scrub_n`` is None): runs after line dedup so it spends
+       its windows on genuine content repeats, not nav bars.
+    5. Gopher quality filter (Rae et al. A1): evaluated on the CLEANED
+       text — a doc that is all boilerplate should fail n_words here,
+       not sneak through on its raw length.
+    6. Near-dup collapse: 'exact' groups by md5 of the cleaned text
+       (cleaning first is what makes exact matching effective —
+       PII/boilerplate variance is already gone); 'minhash' runs
+       MinHash-LSH candidate pairs -> connected components -> keep the
+       cluster's min doc_id (NOTE: component-finding iterates with
+       localCheckpoint, so this mode runs Spark jobs EAGERLY); None
+       skips.  Smallest doc_id per group is kept.
+    7. Deterministic hash split (train/val/test) over kept docs.
+
+    Scale shape: every stage is the already-audited linear plan of its
+    underlying operator; the per-doc counters are threaded through
+    doc_id-keyed joins (co-partitioned with the rebuild aggregations
+    that precede them).  The cleaned-text frame fans out to three
+    consumers (quality stats, dup grouping, output), so the whole
+    pipeline re-derives it three times when evaluated as one lazy DAG —
+    at real corpus sizes pass ``checkpoint_dir`` to materialize the
+    post-scrub frame to parquet once (a resumable barrier, the
+    standard intermediate-dataset pattern) and cut the fan-out
+    recompute; at test sizes the pure DAG is fine.
+    """
+    if near_dup not in (None, "exact", "minhash"):
+        raise ValueError(f"near_dup must be None|'exact'|'minhash', got {near_dup!r}")
+    d0 = docs
+    if id_col != "doc_id":
+        d0 = d0.withColumnRenamed(id_col, "doc_id")
+
+    # -- 1. URL dedup ------------------------------------------------
+    if url_col is not None and url_col in d0.columns:
+        groups = url_dedup(d0, url_col=url_col)
+        from websearchengine_spark.operators.textstats import normalize_url
+
+        with_key = d0.filter(F.col(url_col).isNotNull()).select(
+            "doc_id", normalize_url(F.col(url_col)).alias("norm_url")
+        )
+        url_losers = (
+            with_key.join(groups.select("norm_url", "keep_doc_id"), "norm_url")
+            .filter(F.col("doc_id") != F.col("keep_doc_id"))
+            .select("doc_id")
+        )
+        survivors = d0.join(url_losers, "doc_id", "anti")
+    else:
+        url_losers = None
+        survivors = d0
+
+    # -- 2-4. text transforms (PII -> boilerplate -> scrub) ----------
+    red = pii_redact(survivors, text_col=text_col)
+    pii_counts = red.select(
+        "doc_id",
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")).alias("n_pii"),
+    )
+    cleaned = strip_boilerplate(
+        red.select("doc_id", F.col("redacted").alias(text_col)),
+        text_col=text_col,
+        min_docs=boilerplate_min_docs,
+    ).withColumnRenamed("n_removed", "n_boilerplate")
+    if scrub_n is not None:
+        scrubbed = scrub_repeated_ngrams(
+            cleaned.select("doc_id", text_col),
+            n=scrub_n,
+            min_count=scrub_min_count,
+            text_col=text_col,
+        ).withColumnRenamed("n_removed", "n_scrubbed")
+        cleaned = scrubbed.join(
+            cleaned.select("doc_id", "n_boilerplate"), "doc_id"
+        )
+    else:
+        cleaned = cleaned.withColumn("n_scrubbed", F.lit(0).cast("long"))
+    cleaned = cleaned.join(pii_counts, "doc_id")
+
+    if checkpoint_dir is not None:
+        cleaned.write.mode("overwrite").parquet(checkpoint_dir)
+        cleaned = docs.sparkSession.read.parquet(checkpoint_dir)
+
+    # -- 5. quality filter on the cleaned text -----------------------
+    if quality:
+        qpass = gopher_stats(cleaned, text_col=text_col).select(
+            "doc_id", F.col("gopher_pass").cast("boolean").alias("_qpass")
+        )
+    else:
+        qpass = cleaned.select("doc_id", F.lit(True).alias("_qpass"))
+    staged = cleaned.join(qpass, "doc_id")
+
+    # -- 6. near-dup collapse over quality survivors -----------------
+    qsurv = staged.filter(F.col("_qpass"))
+    if near_dup == "exact":
+        key = F.md5(F.encode(text_col, "UTF-8"))
+        keepers = (
+            qsurv.select("doc_id", key.alias("_k"))
+            .groupBy("_k")
+            .agg(F.min("doc_id").alias("_keep"))
+        )
+        dup_losers = (
+            qsurv.select("doc_id", key.alias("_k"))
+            .join(keepers, "_k")
+            .filter(F.col("doc_id") != F.col("_keep"))
+            .select("doc_id")
+        )
+    elif near_dup == "minhash":
+        pairs = minhash_lsh_pairs(
+            qsurv.select("doc_id", text_col), text_col=text_col,
+            **(minhash_kwargs or {}),
+        )
+        clusters = duplicate_clusters(pairs)  # eager: iterative jobs
+        dup_losers = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+    else:
+        dup_losers = None
+
+    # -- assemble the audit frame ------------------------------------
+    if dup_losers is not None:
+        marked = staged.join(
+            dup_losers.withColumn("_dup", F.lit(True)), "doc_id", "left"
+        ).withColumn("_dup", F.coalesce(F.col("_dup"), F.lit(False)))
+    else:
+        marked = staged.withColumn("_dup", F.lit(False))
+
+    status = (
+        F.when(~F.col("_qpass"), F.lit("quality"))
+        .when(F.col("_dup"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    splits = hash_split(marked.filter(status == "kept"))
+    out = (
+        marked.withColumn("status", status)
+        .join(splits, "doc_id", "left")
+        .select(
+            "doc_id", "status", text_col, "n_pii", "n_boilerplate",
+            "n_scrubbed", "bucket", "split",
+        )
+    )
+    if url_losers is not None:
+        out = out.unionByName(
+            url_losers.select(
+                "doc_id",
+                F.lit("url_dup").alias("status"),
+                F.lit(None).cast("string").alias(text_col),
+                F.lit(None).cast("long").alias("n_pii"),
+                F.lit(None).cast("long").alias("n_boilerplate"),
+                F.lit(None).cast("long").alias("n_scrubbed"),
+                F.lit(None).cast("long").alias("bucket"),
+                F.lit(None).cast("string").alias("split"),
+            )
+        )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

@@ -8,6 +8,10 @@ the bench SF ($SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1):
   * pii_redact         sequential 3-pattern scrub (map-only)
   * semantic_dedup     centroid assign + within-cluster self-join over
                        embeddings ∪ exact copies of every 5th vector
+  * scrub_repeated     corpus-level 8-token repeated-window removal
+  * clean_corpus_e2e   the WHOLE cleaning chain (url dedup -> pii ->
+                       boilerplate -> scrub -> gopher -> exact near-dup
+                       -> split) on the driver entry's planted input
 
 Each phase is best-of-$BENCH_REPS (default 3) seconds of a full action
 over the op's output (count / tiny agg — nothing driver-materialized
@@ -31,6 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from websearchengine_spark.operators.dedup import scrub_repeated_ngrams
+from websearchengine_spark.operators.pipeline import clean_corpus
 from websearchengine_spark.operators.similarity import (
     ivf_build_centroids,
     semantic_dedup,
@@ -100,6 +106,32 @@ def main():
         "sem_dropped",
         semantic_dedup(emb_all, cents, threshold=0.9)
         .filter(~F.col("keep")).count()))
+    run("scrub_repeated", lambda: out.__setitem__(
+        "scrub_removed",
+        int(scrub_repeated_ngrams(docs.select("doc_id", "text"), n=8, min_count=2)
+            .agg(F.sum("n_removed")).collect()[0][0])))
+    clean_in = docs.select(
+        "doc_id", entry._url_spark().alias("url"),
+        entry._clean_text_spark().alias("text"),
+    )
+    run("clean_corpus_e2e", lambda: out.__setitem__(
+        "clean_statuses",
+        {r["status"]: r["n"] for r in clean_corpus(
+            clean_in, boilerplate_min_docs=10, scrub_n=8, scrub_min_count=3,
+            near_dup="exact",
+        ).groupBy("status").agg(F.count("*").alias("n")).collect()}))
+
+    import tempfile
+
+    def clean_ckpt():
+        ck = tempfile.mkdtemp(prefix="wse_clean_ck_")
+        out["clean_statuses_ckpt"] = {r["status"]: r["n"] for r in clean_corpus(
+            clean_in, boilerplate_min_docs=10, scrub_n=8, scrub_min_count=3,
+            near_dup="exact", checkpoint_dir=ck,
+        ).groupBy("status").agg(F.count("*").alias("n")).collect()}
+
+    run("clean_corpus_ckpt", clean_ckpt)
+    assert out["clean_statuses_ckpt"] == out["clean_statuses"], out
 
     # sanity: the planted copies are exactly the semantic drop set
     assert out["sem_dropped"] == n_vecs // 5 + (1 if n_vecs % 5 else 0), out

@@ -25,8 +25,8 @@ from websearchengine_spark.operators.dedup import (
 )
 from websearchengine_spark.operators.textstats import (
     gopher_stats,
-    hash_split,
     pii_redact,
+    split_exprs,
     strip_boilerplate,
     url_dedup,
 )
@@ -89,13 +89,16 @@ def clean_corpus(
     Scale shape: every stage is the already-audited linear plan of its
     underlying operator; the per-doc counters are threaded through
     doc_id-keyed joins (co-partitioned with the rebuild aggregations
-    that precede them).  The cleaned-text frame fans out to three
-    consumers (quality stats, dup grouping, output), so the whole
-    pipeline re-derives it three times when evaluated as one lazy DAG —
-    at real corpus sizes pass ``checkpoint_dir`` to materialize the
-    post-scrub frame to parquet once (a resumable barrier, the
-    standard intermediate-dataset pattern) and cut the fan-out
-    recompute; at test sizes the pure DAG is fine.
+    that precede them); the exact-dup keeper is a window-min (one
+    shuffle) and the split a pure projection, so neither fans the
+    lineage out further.  What remains is the quality join: the
+    cleaned-text frame feeds both gopher_stats and the output row, and
+    gopher_stats itself reads its input twice (features + top-2gram
+    argmax join), so the pure lazy DAG re-derives the cleaning chain
+    ~3x — at real corpus sizes pass ``checkpoint_dir`` to materialize
+    the post-scrub frame to parquet once (a resumable barrier, the
+    standard intermediate-dataset pattern) and make those reads scans;
+    at test sizes the pure DAG is fine.
     """
     if near_dup not in (None, "exact", "minhash"):
         raise ValueError(f"near_dup must be None|'exact'|'minhash', got {near_dup!r}")
@@ -160,34 +163,31 @@ def clean_corpus(
     staged = cleaned.join(qpass, "doc_id")
 
     # -- 6. near-dup collapse over quality survivors -----------------
-    qsurv = staged.filter(F.col("_qpass"))
+    # 'exact' marks losers with a window-min over (qpass, text-hash)
+    # instead of a keeper self-join: the join form re-references the
+    # whole cleaned lineage twice more, and (without a checkpoint)
+    # Spark RECOMPUTES the chain per reference — the window costs one
+    # shuffle and zero extra lineage fan-out.  Quality-failed rows get
+    # a _dup mark of their own partition too, but status checks
+    # 'quality' first so it never surfaces.
     if near_dup == "exact":
+        from pyspark.sql import Window
+
         key = F.md5(F.encode(text_col, "UTF-8"))
-        keepers = (
-            qsurv.select("doc_id", key.alias("_k"))
-            .groupBy("_k")
-            .agg(F.min("doc_id").alias("_keep"))
-        )
-        dup_losers = (
-            qsurv.select("doc_id", key.alias("_k"))
-            .join(keepers, "_k")
-            .filter(F.col("doc_id") != F.col("_keep"))
-            .select("doc_id")
+        w = Window.partitionBy(F.col("_qpass"), key)
+        marked = staged.withColumn(
+            "_dup", F.col("_qpass") & (F.col("doc_id") != F.min("doc_id").over(w))
         )
     elif near_dup == "minhash":
         pairs = minhash_lsh_pairs(
-            qsurv.select("doc_id", text_col), text_col=text_col,
+            staged.filter(F.col("_qpass")).select("doc_id", text_col),
+            text_col=text_col,
             **(minhash_kwargs or {}),
         )
         clusters = duplicate_clusters(pairs)  # eager: iterative jobs
         dup_losers = clusters.filter(
             F.col("doc_id") != F.col("cluster_id")
         ).select("doc_id")
-    else:
-        dup_losers = None
-
-    # -- assemble the audit frame ------------------------------------
-    if dup_losers is not None:
         marked = staged.join(
             dup_losers.withColumn("_dup", F.lit(True)), "doc_id", "left"
         ).withColumn("_dup", F.coalesce(F.col("_dup"), F.lit(False)))
@@ -199,14 +199,14 @@ def clean_corpus(
         .when(F.col("_dup"), F.lit("near_dup"))
         .otherwise(F.lit("kept"))
     )
-    splits = hash_split(marked.filter(status == "kept"))
-    out = (
-        marked.withColumn("status", status)
-        .join(splits, "doc_id", "left")
-        .select(
-            "doc_id", "status", text_col, "n_pii", "n_boilerplate",
-            "n_scrubbed", "bucket", "split",
-        )
+    # split assignment is a pure projection — inline it (a hash_split
+    # join back onto this lineage would fan the chain out again)
+    bucket, split = split_exprs()
+    kept = status == F.lit("kept")
+    out = marked.withColumn("status", status).select(
+        "doc_id", "status", text_col, "n_pii", "n_boilerplate", "n_scrubbed",
+        F.when(kept, bucket).alias("bucket"),
+        F.when(kept, split).alias("split"),
     )
     if url_losers is not None:
         out = out.unionByName(

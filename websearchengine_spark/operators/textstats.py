@@ -295,6 +295,20 @@ def hash_split(
     engines, and corpus growth — a doc never migrates between splits
     when other docs are added.  One projection, no shuffle.
     """
+    bucket, split = split_exprs(key_col, buckets, train_pct, val_pct)
+    return docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+def split_exprs(
+    key_col: str = "doc_id",
+    buckets: int = 100,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> tuple["F.Column", "F.Column"]:
+    """The (bucket, split) column expressions behind ``hash_split`` —
+    exposed so composed pipelines can inline the assignment into an
+    existing projection instead of paying a join back onto a deep
+    lineage (pipeline.clean_corpus does this)."""
     if train_pct + val_pct >= buckets:
         raise ValueError("train_pct + val_pct must leave room for the test split")
     bucket = _hash32(F.col(key_col).cast("string"), 0) % buckets
@@ -303,11 +317,7 @@ def hash_split(
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    return docs.select(
-        "doc_id",
-        bucket.cast("long").alias("bucket"),
-        split.alias("split"),
-    )
+    return bucket.cast("long"), split
 
 
 def boilerplate_lines(

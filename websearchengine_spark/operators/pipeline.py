@@ -28,7 +28,6 @@ from websearchengine_spark.operators.textstats import (
     pii_redact,
     split_exprs,
     strip_boilerplate,
-    url_dedup,
 )
 
 #: status values, in the order the stages run — a doc's status is the
@@ -107,16 +106,21 @@ def clean_corpus(
         d0 = d0.withColumnRenamed(id_col, "doc_id")
 
     # -- 1. URL dedup ------------------------------------------------
+    # same keeper rule as url_dedup (min doc_id per normalized URL,
+    # NULL urls pass) but as a window-min — one shuffle on the URL key
+    # with no group-join back and one fewer reference of the input
     if url_col is not None and url_col in d0.columns:
-        groups = url_dedup(d0, url_col=url_col)
+        from pyspark.sql import Window
+
         from websearchengine_spark.operators.textstats import normalize_url
 
         with_key = d0.filter(F.col(url_col).isNotNull()).select(
             "doc_id", normalize_url(F.col(url_col)).alias("norm_url")
         )
+        uw = Window.partitionBy("norm_url")
         url_losers = (
-            with_key.join(groups.select("norm_url", "keep_doc_id"), "norm_url")
-            .filter(F.col("doc_id") != F.col("keep_doc_id"))
+            with_key.withColumn("_keep", F.min("doc_id").over(uw))
+            .filter(F.col("doc_id") != F.col("_keep"))
             .select("doc_id")
         )
         survivors = d0.join(url_losers, "doc_id", "anti")
@@ -158,9 +162,9 @@ def clean_corpus(
         qpass = gopher_stats(cleaned, text_col=text_col).select(
             "doc_id", F.col("gopher_pass").cast("boolean").alias("_qpass")
         )
+        staged = cleaned.join(qpass, "doc_id")
     else:
-        qpass = cleaned.select("doc_id", F.lit(True).alias("_qpass"))
-    staged = cleaned.join(qpass, "doc_id")
+        staged = cleaned.withColumn("_qpass", F.lit(True))
 
     # -- 6. near-dup collapse over quality survivors -----------------
     # 'exact' marks losers with a window-min over (qpass, text-hash)

@@ -110,8 +110,21 @@ def main():
         "scrub_removed",
         int(scrub_repeated_ngrams(docs.select("doc_id", "text"), n=8, min_count=2)
             .agg(F.sum("n_removed")).collect()[0][0])))
+    # WIDE url synthesis for the pipeline phases (NOT the entry's
+    # _url_spark: that one deliberately collapses to ~420 normalized
+    # groups to exercise every normalize rule at 500-doc correctness
+    # SF, which at 50k docs would drop 99% of the corpus before the
+    # text stages and void the scale measurement).  Here every doc
+    # gets its own URL except doc_id%10==9, which copies its
+    # predecessor's — a flat 10% url_dup rate at any SF.
+    _d = F.col("doc_id")
+    _du = F.when(_d % 10 == 9, _d - 1).otherwise(_d)
     clean_in = docs.select(
-        "doc_id", entry._url_spark().alias("url"),
+        "doc_id",
+        F.concat(
+            F.lit("http://host"), (_du % 7).cast("string"),
+            F.lit(".com/p"), _du.cast("string"),
+        ).alias("url"),
         entry._clean_text_spark().alias("text"),
     )
     run("clean_corpus_e2e", lambda: out.__setitem__(
@@ -133,8 +146,12 @@ def main():
     run("clean_corpus_ckpt", clean_ckpt)
     assert out["clean_statuses_ckpt"] == out["clean_statuses"], out
 
-    # sanity: the planted copies are exactly the semantic drop set
-    assert out["sem_dropped"] == n_vecs // 5 + (1 if n_vecs % 5 else 0), out
+    # sanity: every planted copy is dropped; sf0.1's synthetic vectors
+    # are near-orthogonal so drops == planted there, while denser sets
+    # (bench/sf1.py's 10-prototype corpus) legitimately add organic
+    # >= 0.9 pairs on top
+    planted = n_vecs // 5 + (1 if n_vecs % 5 else 0)
+    assert out["sem_dropped"] >= planted, (out, planted)
 
     print(json.dumps({
         "metric": "llmpipe_suite_sec",

@@ -121,6 +121,20 @@ def test_clean_corpus_checkpoint_dir_is_pure_barrier(spark, tmp_path):
     assert (tmp_path / "ck").exists()
 
 
+def test_clean_corpus_null_text_is_empty_doc(spark):
+    """A NULL text row flows through as an empty doc: zero counters
+    (not NULL), quality-dropped, never crashes a stage."""
+    rows = [(0, None), (1, _longtext(1))]
+    out = clean_corpus(
+        _df(spark, rows, cols=("doc_id", "text")),
+        url_col=None, boilerplate_min_docs=99, scrub_n=4, scrub_min_count=2,
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert got[0]["status"] == "quality" and got[0]["text"] == ""
+    assert (got[0]["n_pii"], got[0]["n_boilerplate"], got[0]["n_scrubbed"]) == (0, 0, 0)
+    assert got[1]["status"] == "kept"
+
+
 def test_clean_corpus_rejects_bad_near_dup(spark):
     with pytest.raises(ValueError, match="near_dup"):
         clean_corpus(

@@ -129,6 +129,11 @@ def clean_corpus(
         survivors = d0
 
     # -- 2-4. text transforms (PII -> boilerplate -> scrub) ----------
+    # NULL text = empty doc (without this, pii_redact's regex counts
+    # come back NULL and the doc's audit counters go NULL instead of 0)
+    survivors = survivors.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
     red = pii_redact(survivors, text_col=text_col)
     pii_counts = red.select(
         "doc_id",

@@ -161,14 +161,12 @@ def analyze_pages(pages: DataFrame, analyzer: str = "reference") -> DataFrame:
     return pages.select(*cols).mapInPandas(run, schema=ANALYZED_SCHEMA)
 
 
-def rank_urls(urls: DataFrame, n_parts: int | None = None) -> DataFrame:
-    """(url, doc_id): dense rank of url in global sort order.
-
-    Scalable two-phase: range-partition by url, local row_number, then
-    add broadcast per-partition offsets.  (A global ``row_number() over
-    (order by url)`` funnels everything through one task; never do that
-    at 10^12 rows.)  SURVEY.md §7.3.
-    """
+def _rank_urls_handle(
+    urls: DataFrame, n_parts: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """rank_urls plus the persisted intermediate, so the caller can
+    unpersist it once the ranks have been consumed (build_index does,
+    right after the analyzed stream is materialized)."""
     if n_parts is None:
         n_parts = max(8, urls.sparkSession.sparkContext.defaultParallelism)
     parted = urls.select("url").repartitionByRange(n_parts, "url").withColumn(
@@ -187,7 +185,18 @@ def rank_urls(urls: DataFrame, n_parts: int | None = None) -> DataFrame:
         .withColumn("doc_id", (offs[F.col("_pid")] + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn")
     )
-    return out
+    return out, parted
+
+
+def rank_urls(urls: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """(url, doc_id): dense rank of url in global sort order.
+
+    Scalable two-phase: range-partition by url, local row_number, then
+    add broadcast per-partition offsets.  (A global ``row_number() over
+    (order by url)`` funnels everything through one task; never do that
+    at 10^12 rows.)  SURVEY.md §7.3.
+    """
+    return _rank_urls_handle(urls, n_parts)[0]
 
 
 def assign_doc_ids(analyzed: DataFrame, n_parts: int | None = None) -> DataFrame:
@@ -278,7 +287,7 @@ def build_index(
     # scan); joining it to the UDF output avoids both a second UDF
     # evaluation (range-partitioner sampling) and a heavy-side shuffle
     # (the id side broadcasts)
-    ids = rank_urls(pages.select("url"))
+    ids, ids_parted = _rank_urls_handle(pages.select("url"))
     analyzed = analyze_pages(pages, analyzer=analyzer).join(ids, "url")
     analyzed = analyzed.persist()
     _mark("setup")
@@ -295,7 +304,22 @@ def build_index(
         )
     else:
         docs = docs.withColumn("pagerank", F.lit(0.0)).withColumn("numviews", F.lit(0).cast("long"))
-    store.write_table(docs.select("doc_id", "url", "title", "doc_len", "pagerank", "numviews"), "docs")
+    # piggy-back the corpus stats (A5) on the docs-write action itself:
+    # an Observation evaluates aggregates inside the write job, so
+    # num_docs/total_tf/max_dl cost zero extra jobs and zero re-reads
+    from pyspark.sql import Observation
+
+    _stats_obs = Observation("corpus_stats")
+    docs_out = docs.select(
+        "doc_id", "url", "title", "doc_len", "pagerank", "numviews"
+    ).observe(
+        _stats_obs,
+        F.count(F.lit(1)).cast("long").alias("num_docs"),
+        F.sum("doc_len").cast("long").alias("total_tf"),
+        F.max("doc_len").cast("long").alias("max_dl"),
+    )
+    store.write_table(docs_out, "docs")
+    ids_parted.unpersist(blocking=False)
     _mark("analyze_and_docs")
 
     # ---- optional forward-index tables (A1 / S7) ------------------------
@@ -313,15 +337,29 @@ def build_index(
         store.write_table(analyzed.select("doc_id", "tokens"), "doc_tokens")
     _mark("doc_terms_tables")
 
-    docs_df = store.read_table(spark, "docs")
-    stats = docs_df.agg(
-        F.count("*").cast("long").alias("num_docs"),
-        F.sum("doc_len").cast("long").alias("total_tf"),
-        F.max("doc_len").cast("long").alias("max_dl"),
+    # corpus stats arrive via the docs-write Observation (zero extra
+    # jobs; they used to cost a docs re-read + agg + stats write + stats
+    # re-read — 3 jobs for three scalars); the stats table itself is a
+    # single row, written driver-side like the manifest.
+    srow = {
+        "num_docs": int(_stats_obs.get["num_docs"]),
+        "total_tf": _stats_obs.get["total_tf"],
+        "max_dl": _stats_obs.get["max_dl"],
+    }
+    import pyarrow as pa
+
+    store.write_small_table(
+        {
+            "num_docs": [srow["num_docs"]],
+            "total_tf": [srow["total_tf"]],
+            "max_dl": [srow["max_dl"]],
+        },
+        "stats",
+        pa.schema(
+            [("num_docs", pa.int64()), ("total_tf", pa.int64()), ("max_dl", pa.int64())]
+        ),
     )
-    store.write_table(stats, "stats")
-    srow = store.read_table(spark, "stats").collect()[0]
-    avg_dl = srow["total_tf"] / max(1, srow["num_docs"])
+    avg_dl = (srow["total_tf"] or 0) / max(1, srow["num_docs"])
     # packed-long layout guards (see PACK_BITS): pos < doc_len always, so
     # one corpus-max check covers both the position and doc_len fields
     if int(srow["max_dl"] or 0) >= (1 << PACK_BITS):
@@ -408,14 +446,10 @@ def build_index(
                 out["blocks"].append(blocks)
             yield pd.DataFrame(out)
 
-    t_group_start = time.time()
-    for g in range(n_groups):
-        if g in done:
-            continue
-        part = group_slice(g)
+    def plists_for(part):
         pk = F.shiftleft(F.col("doc_id"), PACK_BITS)
         if positions:
-            plists = (
+            return (
                 part.select(
                     "shard",
                     "term",
@@ -431,61 +465,123 @@ def build_index(
                     F.sort_array(F.collect_set("dl_p")).alias("dls"),
                 )
             )
-        else:
-            # positionless: doc_len packs directly into each occurrence
-            # (the pos field is dropped before the shuffle entirely)
-            plists = (
-                part.select(
-                    "shard", "term", (pk + F.col("doc_len")).alias("occ_p")
-                )
-                .groupBy("shard", "term")
-                .agg(F.sort_array(F.collect_list("occ_p")).alias("occs"))
-                .withColumn("dls", F.array().cast("array<long>"))
+        # positionless: doc_len packs directly into each occurrence
+        # (the pos field is dropped before the shuffle entirely)
+        return (
+            part.select("shard", "term", (pk + F.col("doc_len")).alias("occ_p"))
+            .groupBy("shard", "term")
+            .agg(F.sort_array(F.collect_list("occ_p")).alias("occs"))
+            .withColumn("dls", F.array().cast("array<long>"))
+        )
+
+    num_docs = int(srow["num_docs"])
+
+    def n_docs_in_group(g: int) -> int:
+        # analytic: doc_ids are dense, shard = doc_id % n_shards
+        return sum(
+            (num_docs - s + n_shards - 1) // n_shards
+            for s in range(g, n_shards, n_groups)
+        )
+
+    remaining = [g for g in range(n_groups) if g not in done]
+    t_group_start = time.time()
+    if remaining and not done:
+        # FRESH build: all groups from ONE explode + ONE (shard, term)
+        # shuffle + ONE dynamic-partitioned write, instead of n_groups
+        # sequential jobs that each rescan the token stream (r6: at
+        # n_groups=2 this halves the wide work; the shuffle key and the
+        # per-group bytes are unchanged — group = shard % n_groups is
+        # attached after encoding).  Group dirs are still moved into
+        # place and committed individually; a crash mid-write leaves the
+        # manifest untouched.  Interrupted builds resume below on the
+        # per-group path, whose bytes are identical (resume test).
+        part = occs.withColumn(
+            "shard", (F.col("doc_id") % F.lit(n_shards)).cast("int")
+        )
+        postings = plists_for(part).mapInPandas(
+            encode_batches, schema=POSTINGS_SCHEMA
+        ).withColumn("group", (F.col("shard") % F.lit(n_groups)).cast("int"))
+        # sort by (group, term): the partition-column prefix satisfies
+        # the dynamic-partition writer's required ordering (no extra
+        # sort gets inserted) and keeps term-sorted row groups so the
+        # `term IN (...)` query filter prunes on parquet min/max stats
+        postings = postings.sortWithinPartitions("group", "term")
+        store.write_partitions_atomic(postings, "postings", "group", range(n_groups))
+        elapsed_all = round(time.time() - t_group_start, 3)
+        for g in range(n_groups):
+            store.mark_group_complete(
+                g,
+                {
+                    "build_id": build_id,
+                    "n_docs": n_docs_in_group(g),
+                    "n_shards_in_group": len(range(g, n_shards, n_groups)),
+                    # one combined job built every group; per-group walls
+                    # are not separable on this path
+                    "elapsed_sec": elapsed_all,
+                },
             )
-        postings = plists.mapInPandas(encode_batches, schema=POSTINGS_SCHEMA)
-        # term-sorted row groups => parquet min/max stats prune query-term
-        # scans (the `term IN (...)` filter skips whole row groups)
-        postings = postings.sortWithinPartitions("term")
-        store.write_partition(postings, "postings", "group", g)
-        # metrics from the (small, columnar) postings output — no second
-        # pass over doc_terms; n_docs is analytic since doc_ids are dense
-        written = store.read_table(spark, f"postings/group={g}")
-        gm = written.agg(
+    else:
+        for g in remaining:
+            postings = plists_for(group_slice(g)).mapInPandas(
+                encode_batches, schema=POSTINGS_SCHEMA
+            )
+            # term-sorted row groups => parquet min/max stats prune
+            # query-term scans (`term IN (...)` skips whole row groups)
+            postings = postings.sortWithinPartitions("term")
+            store.write_partition(postings, "postings", "group", g)
+            store.mark_group_complete(
+                g,
+                {
+                    "build_id": build_id,
+                    "n_docs": n_docs_in_group(g),
+                    "n_shards_in_group": len(range(g, n_shards, n_groups)),
+                    "elapsed_sec": time.time() - t_group_start,
+                },
+            )
+            t_group_start = time.time()
+
+    _mark("postings_groups")
+
+    # ---- ONE pass over the written postings: per-group build metrics ---
+    # (n_postings/n_terms/max_term_postings used to be a read-back job
+    # PER group; they are all derived from the written table, so compute
+    # them together at the end — r6) — and the global term stats.
+    postings_all = store.read_partitioned(spark, "postings")
+    gms = (
+        postings_all.groupBy("group")
+        .agg(
             F.sum("df_shard").alias("n_postings"),
             F.count("*").alias("n_terms"),
             F.max("ctf_shard").alias("max_term_postings"),
-        ).collect()[0]
-        num_docs = int(srow["num_docs"])
-        group_shards = range(g, n_shards, n_groups)
-        n_docs_group = sum(
-            (num_docs - s + n_shards - 1) // n_shards for s in group_shards
         )
-        store.mark_group_complete(
-            g,
-            {
-                "build_id": build_id,
-                "n_postings": int(gm["n_postings"] or 0),
-                "n_terms": int(gm["n_terms"] or 0),
-                "n_docs": n_docs_group,
-                "max_term_postings": int(gm["max_term_postings"] or 0),
-                "n_shards_in_group": len(group_shards),
-                "elapsed_sec": time.time() - t_group_start,
-            },
-        )
-        t_group_start = time.time()
-
-    _mark("postings_groups")
+        .collect()
+    )
+    m = store.read_manifest()
+    metrics = m.setdefault("group_metrics", {})
+    for g in m.get("completed_groups", []):
+        metrics.setdefault(str(g), {}).setdefault("n_postings", 0)
+        metrics[str(g)].setdefault("n_terms", 0)
+        metrics[str(g)].setdefault("max_term_postings", 0)
+    for r in gms:
+        gm = metrics.setdefault(str(int(r["group"])), {})
+        gm["n_postings"] = int(r["n_postings"] or 0)
+        gm["n_terms"] = int(r["n_terms"] or 0)
+        gm["max_term_postings"] = int(r["max_term_postings"] or 0)
+    store.write_manifest(m)
+    _mark("group_metrics")
 
     # ---- global term stats (A3/A4) from the per-shard postings ---------
     # df/ctf are additive across doc-shards, so this is a tiny aggregation
     # over the (vocab x shards)-row postings table — no token rescan.
+    # Term-sorted row groups on disk: the per-query `term IN (...)`
+    # lookup then prunes on parquet min/max stats.
     term_stats = (
-        store.read_partitioned(spark, "postings")
-        .groupBy("term")
+        postings_all.groupBy("term")
         .agg(
             F.sum("df_shard").cast("long").alias("df"),
             F.sum("ctf_shard").cast("long").alias("ctf"),
         )
+        .sortWithinPartitions("term")
     )
     store.write_table(term_stats, "term_stats")
     _mark("term_stats")
@@ -513,8 +609,23 @@ def build_index(
         for k, v in m.get("group_metrics", {}).items()
     ]
     if meta_rows:
-        store.write_table(
-            spark.createDataFrame(pd.DataFrame(meta_rows)), "build_meta"
+        # n_groups rows of driver-known scalars: write driver-side (a
+        # Spark job per build for a few hundred bytes is pure overhead)
+        import pyarrow as pa
+
+        store.write_small_table(
+            {k: [row[k] for row in meta_rows] for k in meta_rows[0]},
+            "build_meta",
+            pa.schema(
+                [
+                    ("grp", pa.int64()),
+                    ("build_id", pa.string()),
+                    ("n_postings", pa.int64()),
+                    ("n_terms", pa.int64()),
+                    ("n_docs", pa.int64()),
+                    ("elapsed_sec", pa.float64()),
+                ]
+            ),
         )
     store.finalize_snapshot(
         {

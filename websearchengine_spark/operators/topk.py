@@ -402,13 +402,17 @@ def wand_topk(
             local_df=local_df, exclude_df=exclude_df,
             stats_cache=stats_cache,
         )
+        # .limit(k) is a no-op on the <=k rows but turns the global sort
+        # into TakeOrderedAndProject (bounded heap, no range-partitioner
+        # sampling job — guide §2.4: an orderBy used only to fix output
+        # order needs no full sort machinery)
         if not docs_join:
             return out.select("doc_id", "score").orderBy(
                 F.col("score").desc(), F.col("doc_id").asc()
-            )
+            ).limit(k)
         return out.select(*RESULT_COLS).orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
-        )
+        ).limit(k)
 
     words = [w for ws in token_words for w in ws]
     qweights: dict[str, float] = {}
@@ -579,7 +583,11 @@ def wand_topk(
     out = (
         F.broadcast(topk).join(docs, "doc_id")
         .select(*RESULT_COLS)
+        # re-established order over the <=k joined rows: .limit(k) is a
+        # no-op on the rows but makes it a TakeOrderedAndProject instead
+        # of a range-sampled global sort (one job fewer per query)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
     )
     return out
 
@@ -817,17 +825,24 @@ def wand_topk_batch(
         .filter(F.col("rank") <= k)
         .join(F.broadcast(qnames), "qid")
     )
+    # the result is <= len(queries)*k rows; .limit of that bound is a
+    # no-op on the rows but compiles the final orderBy down to
+    # TakeOrderedAndProject (no range-partitioner sampling job).  Only
+    # when the bound is small: TakeOrdered gathers the rows into ONE
+    # driver-side heap, so a 10^6-query batch must keep the distributed
+    # sort instead (guide §5: the driver does no data work).
+    n_bound = max(1, len(queries)) * k
+
+    def _ordered(df):
+        o = df.orderBy("query", "rank")
+        return o.limit(n_bound) if n_bound <= 100_000 else o
+
     if not docs_join:
-        return ranked.select("query", "doc_id", "score", "rank").orderBy(
-            "query", "rank"
-        )
+        return _ordered(ranked.select("query", "doc_id", "score", "rank"))
     # n_queries x k rows vs the full docs table: broadcast the ranked
     # side (same sf1 plan-audit rationale as wand_topk's metadata join)
-    out = (
-        F.broadcast(ranked).join(docs, "doc_id")
-        .select(
+    return _ordered(
+        F.broadcast(ranked).join(docs, "doc_id").select(
             "query", "doc_id", "url", "title", "score", "pagerank", "numviews", "rank"
         )
-        .orderBy("query", "rank")
     )
-    return out

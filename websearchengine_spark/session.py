@@ -57,6 +57,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets BYTES, but the engine's Python stages
+        # (posting encode, WAND kernels) cost per ROW/GROUP: a few MB of
+        # packed postings coalesced to 2-3 tasks serializes the encode on
+        # 2-3 cores.  A small floor keeps parallelismFirst coalescing up
+        # at the core count for small shuffles; at real data volumes
+        # (bytes/core >> 1 MB) this knob is inert, so it is not a
+        # local-only tuning.  Env-overridable for cluster profiles.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))

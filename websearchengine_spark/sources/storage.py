@@ -32,6 +32,41 @@ import shutil
 import time
 import uuid
 
+# (path -> (dir_mtime_ns, StructType)) memo for parquet schema inference:
+# every bare ``spark.read.parquet`` runs a footer-reading JOB (~50-100 ms
+# of fixed scheduling cost in local mode, a full stage on a cluster) even
+# when the table was just written by this very process.  Index tables
+# have fixed schemas per path, so the first read (or the write itself)
+# records the schema and later reads pass it explicitly — zero jobs.
+# Keyed on the directory mtime (ns) so an overwrite with a different
+# schema invalidates the entry.
+_SCHEMA_CACHE: dict[str, tuple[int, object]] = {}
+
+
+def _dir_mtime_ns(path: str) -> int:
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return -1
+
+
+def _cache_schema(path: str, schema) -> None:
+    _SCHEMA_CACHE[path] = (_dir_mtime_ns(path), schema)
+
+
+def read_parquet_cached(spark, path: str, base_path: str | None = None):
+    """spark.read.parquet with the schema-inference job memoized away."""
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    hit = _SCHEMA_CACHE.get(path)
+    mtime = _dir_mtime_ns(path)
+    if hit is not None and hit[0] == mtime:
+        return reader.schema(hit[1]).parquet(path)
+    df = reader.parquet(path)
+    _SCHEMA_CACHE[path] = (mtime, df.schema)
+    return df
+
 
 def iceberg_available(spark) -> bool:
     """True if an Iceberg catalog can be configured in this session."""
@@ -104,10 +139,34 @@ class IndexStorage:
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.table_path(name))
+        p = self.table_path(name)
+        w.parquet(p)
+        if not partition_by:
+            # seed the schema memo: the common write-then-read-back flow
+            # (build metrics, term_stats) must not pay an inference job
+            _cache_schema(p, df.schema)
+
+    def write_small_table(self, pdf, name: str, schema) -> None:
+        """Driver-side parquet write for METADATA-scale tables (stats,
+        build_meta: a handful of rows).  A Spark write action costs a
+        full job (~150 ms fixed) to move a few hundred bytes; these
+        tables are driver-known scalars, so write them like the manifest
+        — directly, with an explicit arrow schema so Spark reads them
+        back with exactly the declared column types."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = self.table_path(name)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+        os.makedirs(p)
+        table = pa.Table.from_pydict(pdf, schema=schema)
+        pq.write_table(table, os.path.join(p, "part-00000.parquet"))
+        with open(os.path.join(p, "_SUCCESS"), "w"):
+            pass
 
     def read_table(self, spark, name: str):
-        return spark.read.parquet(self.table_path(name))
+        return read_parquet_cached(spark, self.table_path(name))
 
     def exists(self, name: str) -> bool:
         p = self.table_path(name)
@@ -131,11 +190,48 @@ class IndexStorage:
         if os.path.exists(out):
             shutil.rmtree(out)
         os.replace(tmp, out)
+        self._seed_partitioned_schema(df.schema, name, partition_col)
+
+    def write_partitions_atomic(self, df, name: str, partition_col: str, vals) -> None:
+        """ONE dynamic-partitioned write committed per partition dir:
+        the whole frame is written to a ``__build_tmp`` sibling, then
+        each ``col=val`` dir is moved into place (same commit unit as
+        :meth:`write_partition`, so a crash before the moves leaves the
+        live table untouched).  ``vals`` lists every expected partition
+        value; values the data did not produce get an empty dir so the
+        layout is identical to the per-partition path."""
+        base = self.table_path(name)
+        tmp = base + "__build_tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        os.makedirs(base, exist_ok=True)
+        for v in vals:
+            sub = f"{partition_col}={v}"
+            src = os.path.join(tmp, sub)
+            dst = os.path.join(base, sub)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):
+                os.replace(src, dst)
+            else:
+                os.makedirs(dst)
+        shutil.rmtree(tmp)
+        self._seed_partitioned_schema(df.schema, name, partition_col)
+
+    def _seed_partitioned_schema(self, data_schema, name: str, partition_col: str) -> None:
+        """Seed the schema memo for a partitioned table just written:
+        discovery appends the partition column (int-valued dir names
+        infer as integer) after the data columns."""
+        from pyspark.sql import types as T
+
+        fields = [f for f in data_schema.fields if f.name != partition_col]
+        fields.append(T.StructField(partition_col, T.IntegerType()))
+        _cache_schema(self.table_path(name), T.StructType(fields))
 
     def read_partitioned(self, spark, name: str):
-        return spark.read.option("basePath", self.table_path(name)).parquet(
-            self.table_path(name)
-        )
+        p = self.table_path(name)
+        return read_parquet_cached(spark, p, base_path=p)
 
 
 def skew_report(store: "IndexStorage", spark) -> dict:

@@ -32,9 +32,25 @@ QUERY_TERMS = ["data", "stream", "join"]  # present in the documents vocab
 QL_TERMS = ["data", "stream"]
 PHRASE = "data stream"
 
+# (path -> StructType) schema memo: a bare spark.read.parquet runs a
+# footer-reading JOB per call; the testdata tables are immutable inside a
+# process, so infer once and pass the schema explicitly afterwards.
+# (Schema metadata only — results are computed from the parquet files on
+# every call.)
+_PQ_SCHEMAS: dict[str, object] = {}
+
+
+def _read_pq(spark: SparkSession, path: str) -> DataFrame:
+    sch = _PQ_SCHEMAS.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _PQ_SCHEMAS[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_pq(spark, f"{sf_dir}/documents.parquet")
 
 
 def _widen(df: DataFrame) -> DataFrame:
@@ -358,7 +374,8 @@ SQL_COSINE_TOPK = (
 
 def _synthetic_graph(spark, sf_dir):
     """Deterministic graph shared by the pagerank entries: dst =
-    (doc_id*7+j) % N, j in 1..5, self-loops dropped."""
+    (doc_id*7+j) % N, j in 1..5, self-loops dropped.  Returns
+    (nodes, edges, n_docs)."""
     docs = _docs(spark, sf_dir).select("doc_id")
     n = docs.count()
     edges = (
@@ -369,9 +386,14 @@ def _synthetic_graph(spark, sf_dir):
         .withColumn("dst", (F.col("src") * 7 + F.col("j")) % n)
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .distinct()
+        # dedup clustered by src: hash-partitioning on src alone already
+        # satisfies the (src, dst) aggregate's distribution, and leaves
+        # the cached edges clustered the way pagerank_iterate's outdeg
+        # window needs them — one exchange total instead of two
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
     ).persist()
-    return docs.select(F.col("doc_id").alias("node")), edges
+    return docs.select(F.col("doc_id").alias("node")), edges, n
 
 
 def q_pagerank(spark, sf_dir):
@@ -380,11 +402,14 @@ def q_pagerank(spark, sf_dir):
     (graph.pagerank_iterate), not an inline loop."""
     from websearchengine_spark.operators.graph import pagerank_iterate
 
-    nodes, edges = _synthetic_graph(spark, sf_dir)
+    nodes, edges, n_docs = _synthetic_graph(spark, sf_dir)
     ranks = pagerank_iterate(nodes, edges, lam=0.9, iters=2)
+    # exactly num_docs rows come out; the limit is a no-op on the rows
+    # but turns the global sort into TakeOrderedAndProject (no
+    # range-partitioner sampling job before the driver collects anyway)
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
-    ).orderBy("doc_id")
+    ).orderBy("doc_id").limit(n_docs)
 
 
 def q_pagerank_10iter(spark, sf_dir):
@@ -393,11 +418,11 @@ def q_pagerank_10iter(spark, sf_dir):
     a mechanically unrolled 10-stage SQL chain."""
     from websearchengine_spark.operators.graph import pagerank_iterate
 
-    nodes, edges = _synthetic_graph(spark, sf_dir)
+    nodes, edges, n_docs = _synthetic_graph(spark, sf_dir)
     ranks = pagerank_iterate(nodes, edges, lam=0.9, iters=10)
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
-    ).orderBy("doc_id")
+    ).orderBy("doc_id").limit(n_docs)
 
 
 def _pagerank_sql(iters: int) -> str:
@@ -754,7 +779,7 @@ GROUP BY doc_id ORDER BY doc_id"""
 # --------------------------------------------------------------------------
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_pq(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def q_ann_cosine(spark, sf_dir):
@@ -1039,7 +1064,7 @@ ORDER BY id_a, id_b"""
 # --------------------------------------------------------------------------
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_pq(spark, f"{sf_dir}/{name}.parquet")
 
 
 def q_history_suggestions(spark, sf_dir):

@@ -129,9 +129,17 @@ def pagerank_iterate(
 
     Returns (node, rank)."""
     nodes = nodes.select("node").distinct().persist()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # contribution topology is fixed across iterations: cache it
-    topo = edges.join(outdeg, "src").select("src", "dst", "outdeg").persist()
+    # contribution topology is fixed across iterations: cache it.
+    # outdeg is attached with a window over src rather than a groupBy +
+    # self-join — one exchange instead of three (guide §2.4), and when
+    # the incoming edges are already clustered by src (the entry's
+    # synthetic graph dedups that way) the window needs no exchange at
+    # all.  Values are identical: count(*) over (partition by src).
+    topo = edges.select(
+        "src",
+        "dst",
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("outdeg"),
+    ).persist()
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iters):

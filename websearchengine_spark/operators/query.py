@@ -213,31 +213,77 @@ def conjunctive_candidates(
     return have_all
 
 
+def _query_weights(token_words: list[list[str]]) -> dict[str, int]:
+    weights: dict[str, int] = {}
+    for ws in token_words:
+        for w in ws:
+            weights[w] = weights.get(w, 0) + 1
+    return weights
+
+
+def _scored_terms(
+    cand: DataFrame | None,
+    matches: DataFrame,
+    docs: DataFrame,
+    term_stats: DataFrame,
+    weights: dict[str, int],
+    n_required: int | None,
+):
+    """Per-(doc, term) scoring rows + the conjunctive gate.
+
+    Two gate shapes, same rows out (r6):
+      * ``cand`` given — the phrase path: semi-join against the
+        pre-filtered candidate set;
+      * ``n_required`` given — plain conjunctive queries: matches has
+        exactly one row per (doc, distinct term), so the per-doc row
+        count IS the distinct-term count, and the gate rides the scoring
+        aggregation itself — ONE shuffle of matches instead of two (the
+        old cand agg + join-back; guide §2.4).
+    Returns (scored_terms, count_aggs, finalize): ``count_aggs`` go into
+    the caller's groupBy("doc_id").agg and ``finalize(per_doc)`` applies
+    the count gate afterwards.
+    """
+    spark = matches.sparkSession
+    wdf = spark.createDataFrame(
+        [(t, float(m)) for t, m in weights.items()], "term string, mult double"
+    )
+    st = matches
+    if cand is not None:
+        st = st.join(cand, "doc_id")
+    st = (
+        st.join(F.broadcast(wdf), "term")
+        .join(F.broadcast(term_stats.filter(F.col("term").isin(list(weights)))), "term")
+        .join(docs.select("doc_id", "doc_len"), "doc_id")
+    )
+    count_aggs = (
+        [F.count(F.lit(1)).alias("_nt")] if n_required is not None else []
+    )
+
+    def finalize(per_doc: DataFrame) -> DataFrame:
+        if n_required is not None:
+            return per_doc.filter(F.col("_nt") == n_required).drop("_nt")
+        return per_doc
+
+    return st, count_aggs, finalize
+
+
 def score_comprehensive(
-    cand: DataFrame,
+    cand: DataFrame | None,
     matches: DataFrame,
     docs: DataFrame,
     term_stats: DataFrame,
     token_words: list[list[str]],
     total_tf: int,
+    n_required: int | None = None,
 ) -> DataFrame:
-    """R1: 1.4*QL_JM + 0.3*log(pr+1) + 0.3*log(nv+1); word multiplicity kept."""
-    spark = cand.sparkSession
-    weights = {}
-    for ws in token_words:
-        for w in ws:
-            weights[w] = weights.get(w, 0) + 1
-    wdf = spark.createDataFrame(
-        [(t, float(m)) for t, m in weights.items()], "term string, mult double"
+    """R1: 1.4*QL_JM + 0.3*log(pr+1) + 0.3*log(nv+1); word multiplicity
+    kept.  Returns (doc_id, ql, score)."""
+    weights = _query_weights(token_words)
+    st, count_aggs, finalize = _scored_terms(
+        cand, matches, docs, term_stats, weights, n_required
     )
-    scored_terms = (
-        matches.join(cand, "doc_id")
-        .join(F.broadcast(wdf), "term")
-        .join(F.broadcast(term_stats.filter(F.col("term").isin(list(weights)))), "term")
-    )
-    per_doc = (
-        scored_terms.join(docs.select("doc_id", "doc_len"), "doc_id")
-        .withColumn(
+    per_doc = finalize(
+        st.withColumn(
             "_logp",
             F.col("mult")
             * F.log(
@@ -246,53 +292,81 @@ def score_comprehensive(
             ),
         )
         .groupBy("doc_id")
-        .agg(F.sum("_logp").alias("ql"))
+        .agg(F.sum("_logp").alias("ql"), *count_aggs)
     )
     return (
-        per_doc.join(docs, "doc_id")
+        per_doc.join(docs.select("doc_id", "pagerank", "numviews"), "doc_id")
         .withColumn(
             "score",
             (1.0 + LAMBDA_1) * F.col("ql")
             + LAMBDA_2 * F.log(F.col("pagerank") + 1.0)
             + LAMBDA_3 * F.log(F.col("numviews").cast("double") + 1.0),
         )
+        .select("doc_id", "ql", "score")
     )
 
 
-def score_favorite(cand, matches, docs, term_stats, token_words, total_tf):
-    """R2 (RankerFavorite.java:23,31-59): exp(QL), no static signals."""
-    scored = score_comprehensive(cand, matches, docs, term_stats, token_words, total_tf)
-    return scored.withColumn("score", F.exp(F.col("ql")))
+def score_favorite(
+    cand, matches, docs, term_stats, token_words, total_tf, n_required=None
+):
+    """R2 (RankerFavorite.java:23,31-59): exp(QL), no static signals —
+    so no docs/signals join at all (r6)."""
+    weights = _query_weights(token_words)
+    st, count_aggs, finalize = _scored_terms(
+        cand, matches, docs, term_stats, weights, n_required
+    )
+    per_doc = finalize(
+        st.withColumn(
+            "_logp",
+            F.col("mult")
+            * F.log(
+                (1 - LAMBDA_JM) * F.col("tf") / F.col("doc_len")
+                + LAMBDA_JM * F.col("ctf") / F.lit(float(total_tf))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_logp").alias("ql"), *count_aggs)
+    )
+    return per_doc.select("doc_id", F.exp(F.col("ql")).alias("score"))
 
 
-def score_conjunctive(cand, matches, docs, *_args):
+def score_conjunctive(cand, matches, docs, *_args, n_required=None):
     """R3 (RankerConjunctive.java:29-35): score == 1.0 for every match."""
-    return cand.join(docs, "doc_id").withColumn("score", F.lit(1.0))
+    if cand is None:
+        cand = (
+            matches.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") == n_required)
+            .select("doc_id")
+        )
+    return cand.withColumn("score", F.lit(1.0))
 
 
-def score_bm25(cand, matches, docs, term_stats, token_words, total_tf, num_docs, avg_dl):
+def score_bm25(
+    cand,
+    matches,
+    docs,
+    term_stats,
+    token_words,
+    total_tf,
+    num_docs,
+    avg_dl,
+    n_required=None,
+):
     """Standard BM25 (k1=1.2, b=0.75), Lucene-style non-negative idf.
 
     The north_rule names BM25; the reference's own scorer is R1 (see
     SURVEY.md §2.8 note).  Both are exposed behind the same machinery.
     """
-    weights = {}
-    for ws in token_words:
-        for w in ws:
-            weights[w] = weights.get(w, 0) + 1
-    spark = cand.sparkSession
-    wdf = spark.createDataFrame(
-        [(t, float(m)) for t, m in weights.items()], "term string, mult double"
+    weights = _query_weights(token_words)
+    st, count_aggs, finalize = _scored_terms(
+        cand, matches, docs, term_stats, weights, n_required
     )
     idf = F.log(
         (F.lit(float(num_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
-    per_doc = (
-        matches.join(cand, "doc_id")
-        .join(F.broadcast(wdf), "term")
-        .join(F.broadcast(term_stats.filter(F.col("term").isin(list(weights)))), "term")
-        .join(docs.select("doc_id", "doc_len"), "doc_id")
-        .withColumn(
+    per_doc = finalize(
+        st.withColumn(
             "_s",
             F.col("mult")
             * idf
@@ -304,9 +378,9 @@ def score_bm25(cand, matches, docs, term_stats, token_words, total_tf, num_docs,
             ),
         )
         .groupBy("doc_id")
-        .agg(F.sum("_s").alias("bm25"))
+        .agg(F.sum("_s").alias("bm25"), *count_aggs)
     )
-    return per_doc.join(docs, "doc_id").withColumn("score", F.col("bm25"))
+    return per_doc.select("doc_id", F.col("bm25").alias("score"))
 
 
 RESULT_COLS = ["doc_id", "url", "title", "score", "pagerank", "numviews"]
@@ -357,27 +431,59 @@ def run_query(
     need_pos = any(len(ws) > 1 for ws in token_words)
 
     matches = load_postings_for_terms(spark, store, distinct_terms, want_positions=need_pos)
-    matches = matches.persist()
-    _swap_cached_matches(matches)
-    cand = conjunctive_candidates(matches, token_words, with_positions=need_pos)
+    if need_pos:
+        # the phrase path references matches several times (candidate
+        # filter + scoring); cache the decoded postings across them
+        matches = matches.persist()
+        _swap_cached_matches(matches)
+        cand = conjunctive_candidates(matches, token_words, with_positions=True)
+        n_required = None
+    else:
+        # plain conjunctive queries: the ALL-terms gate rides the
+        # scoring aggregation itself (r6 — one shuffle of matches, not
+        # a candidate agg plus a join-back), so the decoded postings
+        # appear exactly once in the plan and need no cache
+        _swap_cached_matches(None)
+        cand = None
+        n_required = len(distinct_terms)
     matches_tf = matches.select("doc_id", "term", "tf")
 
     if ranker == "comprehensive":
-        scored = score_comprehensive(cand, matches_tf, docs, term_stats, token_words, total_tf)
+        scored = score_comprehensive(
+            cand, matches_tf, docs, term_stats, token_words, total_tf,
+            n_required=n_required,
+        )
     elif ranker == "favorite":
-        scored = score_favorite(cand, matches_tf, docs, term_stats, token_words, total_tf)
+        scored = score_favorite(
+            cand, matches_tf, docs, term_stats, token_words, total_tf,
+            n_required=n_required,
+        )
     elif ranker == "conjunctive":
-        scored = score_conjunctive(cand, matches_tf, docs)
+        scored = score_conjunctive(
+            cand, matches_tf, docs, n_required=n_required
+        )
     elif ranker == "bm25":
         avg_dl = total_tf / max(1, num_docs)
         scored = score_bm25(
-            cand, matches_tf, docs, term_stats, token_words, total_tf, num_docs, avg_dl
+            cand, matches_tf, docs, term_stats, token_words, total_tf,
+            num_docs, avg_dl, n_required=n_required,
         )
     else:
         raise ValueError(f"unknown ranker: {ranker}")
 
+    # bounded top-k on (doc_id, score) FIRST, metadata join AFTER (J3,
+    # same shape as the WAND path): the old plan joined the full docs
+    # table into every scored candidate before the limit — fine at 5k
+    # docs, a full docs shuffle at 10^9 (r6).  The k-row side is
+    # broadcast explicitly (Catalyst cannot size it).
+    topk = (
+        scored.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
     out = (
-        scored.select(*RESULT_COLS)
+        F.broadcast(topk).join(docs, "doc_id")
+        .select(*RESULT_COLS)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )

@@ -53,6 +53,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read_pq(spark, f"{sf_dir}/documents.parquet")
 
 
+def _pq_nrows(path: str) -> int | None:
+    """Exact row count from the parquet footers (driver-side metadata
+    read, no Spark job); None if the pyarrow path is unavailable."""
+    try:
+        import pyarrow.dataset as pads
+
+        return pads.dataset(path, format="parquet").count_rows()
+    except Exception:
+        return None
+
+
 def _widen(df: DataFrame) -> DataFrame:
     """Parallelism guard for explode-amplifying scans (the shared
     operators/util.py helper; see its docstring)."""
@@ -377,7 +388,9 @@ def _synthetic_graph(spark, sf_dir):
     (doc_id*7+j) % N, j in 1..5, self-loops dropped.  Returns
     (nodes, edges, n_docs)."""
     docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.count()
+    n = _pq_nrows(f"{sf_dir}/documents.parquet")
+    if n is None:
+        n = docs.count()
     edges = (
         docs.select(
             F.col("doc_id").alias("src"),

@@ -173,7 +173,35 @@ def _rank_urls_handle(
         "_pid", F.spark_partition_id()
     )
     parted = parted.persist()
-    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+
+    # per-partition counts in the SAME job that materializes the cache:
+    # mapInPandas sees one partition per task, so summing batch lengths
+    # needs no groupBy exchange (the old groupBy(_pid) agg cost two AQE
+    # stage jobs for numbers the scan already knows — r6).  Arrow-batched,
+    # no per-row Python work.
+    def _part_counts(batches):
+        n, pid = 0, None
+        for pdf in batches:
+            if len(pdf):
+                n += len(pdf)
+                if pid is None:
+                    pid = int(pdf["_pid"].iloc[0])
+        if pid is not None:
+            yield pd.DataFrame({"_pid": [pid], "cnt": [n]})
+
+    # AQE adds nothing here (explicit partition count, no joins) but
+    # materializes each exchange as its own job; off for just this
+    # collect, the count pass is one job instead of three
+    spark = urls.sparkSession
+    _prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in parted.mapInPandas(_part_counts, "_pid int, cnt long").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _prev_aqe)
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -485,6 +513,12 @@ def build_index(
 
     remaining = [g for g in range(n_groups) if g not in done]
     t_group_start = time.time()
+    # Group metrics (n_postings/n_terms/max_term_postings) ride the
+    # write actions as Observations — they used to cost a read-back +
+    # agg + collect job per group (r6: zero extra jobs, same numbers,
+    # recorded at commit time exactly as before).
+    from pyspark.sql import Observation
+
     if remaining and not done:
         # FRESH build: all groups from ONE explode + ONE (shard, term)
         # shuffle + ONE dynamic-partitioned write, instead of n_groups
@@ -501,19 +535,33 @@ def build_index(
         postings = plists_for(part).mapInPandas(
             encode_batches, schema=POSTINGS_SCHEMA
         ).withColumn("group", (F.col("shard") % F.lit(n_groups)).cast("int"))
+        gm_obs = Observation("group_metrics")
+        obs_exprs = []
+        for g in range(n_groups):
+            in_g = F.col("group") == g
+            obs_exprs += [
+                F.sum(F.when(in_g, F.col("df_shard"))).alias(f"np_{g}"),
+                F.count(F.when(in_g, F.lit(1))).alias(f"nt_{g}"),
+                F.max(F.when(in_g, F.col("ctf_shard"))).alias(f"mx_{g}"),
+            ]
+        postings = postings.observe(gm_obs, *obs_exprs)
         # sort by (group, term): the partition-column prefix satisfies
         # the dynamic-partition writer's required ordering (no extra
         # sort gets inserted) and keeps term-sorted row groups so the
         # `term IN (...)` query filter prunes on parquet min/max stats
         postings = postings.sortWithinPartitions("group", "term")
         store.write_partitions_atomic(postings, "postings", "group", range(n_groups))
+        gmv = gm_obs.get
         elapsed_all = round(time.time() - t_group_start, 3)
         for g in range(n_groups):
             store.mark_group_complete(
                 g,
                 {
                     "build_id": build_id,
+                    "n_postings": int(gmv[f"np_{g}"] or 0),
+                    "n_terms": int(gmv[f"nt_{g}"] or 0),
                     "n_docs": n_docs_in_group(g),
+                    "max_term_postings": int(gmv[f"mx_{g}"] or 0),
                     "n_shards_in_group": len(range(g, n_shards, n_groups)),
                     # one combined job built every group; per-group walls
                     # are not separable on this path
@@ -525,15 +573,26 @@ def build_index(
             postings = plists_for(group_slice(g)).mapInPandas(
                 encode_batches, schema=POSTINGS_SCHEMA
             )
+            obs = Observation(f"group_metrics_{g}_{build_id}")
+            postings = postings.observe(
+                obs,
+                F.sum("df_shard").alias("np"),
+                F.count(F.lit(1)).alias("nt"),
+                F.max("ctf_shard").alias("mx"),
+            )
             # term-sorted row groups => parquet min/max stats prune
             # query-term scans (`term IN (...)` skips whole row groups)
             postings = postings.sortWithinPartitions("term")
             store.write_partition(postings, "postings", "group", g)
+            gmv = obs.get
             store.mark_group_complete(
                 g,
                 {
                     "build_id": build_id,
+                    "n_postings": int(gmv["np"] or 0),
+                    "n_terms": int(gmv["nt"] or 0),
                     "n_docs": n_docs_in_group(g),
+                    "max_term_postings": int(gmv["mx"] or 0),
                     "n_shards_in_group": len(range(g, n_shards, n_groups)),
                     "elapsed_sec": time.time() - t_group_start,
                 },
@@ -541,40 +600,18 @@ def build_index(
             t_group_start = time.time()
 
     _mark("postings_groups")
-
-    # ---- ONE pass over the written postings: per-group build metrics ---
-    # (n_postings/n_terms/max_term_postings used to be a read-back job
-    # PER group; they are all derived from the written table, so compute
-    # them together at the end — r6) — and the global term stats.
     postings_all = store.read_partitioned(spark, "postings")
-    gms = (
-        postings_all.groupBy("group")
-        .agg(
-            F.sum("df_shard").alias("n_postings"),
-            F.count("*").alias("n_terms"),
-            F.max("ctf_shard").alias("max_term_postings"),
-        )
-        .collect()
-    )
-    m = store.read_manifest()
-    metrics = m.setdefault("group_metrics", {})
-    for g in m.get("completed_groups", []):
-        metrics.setdefault(str(g), {}).setdefault("n_postings", 0)
-        metrics[str(g)].setdefault("n_terms", 0)
-        metrics[str(g)].setdefault("max_term_postings", 0)
-    for r in gms:
-        gm = metrics.setdefault(str(int(r["group"])), {})
-        gm["n_postings"] = int(r["n_postings"] or 0)
-        gm["n_terms"] = int(r["n_terms"] or 0)
-        gm["max_term_postings"] = int(r["max_term_postings"] or 0)
-    store.write_manifest(m)
-    _mark("group_metrics")
 
     # ---- global term stats (A3/A4) from the per-shard postings ---------
     # df/ctf are additive across doc-shards, so this is a tiny aggregation
     # over the (vocab x shards)-row postings table — no token rescan.
-    # Term-sorted row groups on disk: the per-query `term IN (...)`
-    # lookup then prunes on parquet min/max stats.
+    # Term-sorted SMALL row groups on disk: the table is the term
+    # DICTIONARY; with rows sorted by term inside each file and ~1 MB
+    # row groups, a k-term lookup (storage.lookup_rows / the Spark
+    # fallback's `term IN` filter) prunes on parquet min/max stats to
+    # at most one row group per file — bounded work at any vocabulary
+    # size, without paying a range-repartition (sampling + exchange)
+    # job at build time.
     term_stats = (
         postings_all.groupBy("term")
         .agg(
@@ -583,7 +620,9 @@ def build_index(
         )
         .sortWithinPartitions("term")
     )
-    store.write_table(term_stats, "term_stats")
+    store.write_table(
+        term_stats, "term_stats", options={"parquet.block.size": str(1 << 20)}
+    )
     _mark("term_stats")
 
     if spell_assist:

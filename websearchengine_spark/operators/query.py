@@ -127,13 +127,13 @@ def load_postings_for_terms(
     postings = store.read_partitioned(spark, "postings").filter(
         F.col("term").isin(list(terms))
     )
-    schema = "doc_id long, term string, tf int" + (
+    schema = "doc_id long, term string, tf int, doc_len int" + (
         ", positions array<int>" if want_positions else ""
     )
 
     def decode(batches):
         for pdf in batches:
-            doc_ids, terms_out, tfs, poss = [], [], [], []
+            doc_ids, terms_out, tfs, dls, poss = [], [], [], [], []
             for term, blocks in zip(pdf["term"], pdf["blocks"]):
                 blks = [
                     (
@@ -146,9 +146,12 @@ def load_postings_for_terms(
                     )
                     for b in blocks
                 ]
-                d, t, _dl, p = decode_posting_blocks(blks, want_positions=want_positions)
+                d, t, dl, p = decode_posting_blocks(
+                    blks, want_positions=want_positions, want_doclens=True
+                )
                 doc_ids.append(d)
                 tfs.append(t)
+                dls.append(dl)
                 terms_out.extend([term] * len(d))
                 if want_positions:
                     off = np.zeros(len(t) + 1, dtype=np.int64)
@@ -160,6 +163,10 @@ def load_postings_for_terms(
                 "doc_id": np.concatenate(doc_ids) if doc_ids else np.empty(0, np.int64),
                 "term": terms_out,
                 "tf": (np.concatenate(tfs) if tfs else np.empty(0, np.int64)).astype("int32"),
+                # doc_len is part of every posting (the blocks carry it
+                # for BM25); emitting it here saves the scorers a join
+                # against the docs table (r6)
+                "doc_len": (np.concatenate(dls) if dls else np.empty(0, np.int64)).astype("int32"),
             }
             if want_positions:
                 out["positions"] = poss
@@ -224,8 +231,7 @@ def _query_weights(token_words: list[list[str]]) -> dict[str, int]:
 def _scored_terms(
     cand: DataFrame | None,
     matches: DataFrame,
-    docs: DataFrame,
-    term_stats: DataFrame,
+    term_stats: dict[str, tuple[int, int]],
     weights: dict[str, int],
     n_required: int | None,
 ):
@@ -239,21 +245,41 @@ def _scored_terms(
         count IS the distinct-term count, and the gate rides the scoring
         aggregation itself — ONE shuffle of matches instead of two (the
         old cand agg + join-back; guide §2.4).
+
+    ``term_stats`` is the k-entry {term: (df, ctf)} dictionary probe
+    result; per-term constants (mult/df/ctf) are attached as literal-map
+    lookups — pure projections, replacing two broadcast-join jobs.  The
+    per-doc length comes from the postings themselves (the blocks carry
+    doc_len for BM25), so no docs-table join happens before the top-k.
     Returns (scored_terms, count_aggs, finalize): ``count_aggs`` go into
     the caller's groupBy("doc_id").agg and ``finalize(per_doc)`` applies
     the count gate afterwards.
     """
-    spark = matches.sparkSession
-    wdf = spark.createDataFrame(
-        [(t, float(m)) for t, m in weights.items()], "term string, mult double"
+
+    def _lit_map(pairs):
+        return F.create_map(*[x for kv in pairs for x in kv])
+
+    mult_m = _lit_map(
+        (F.lit(t), F.lit(float(m))) for t, m in weights.items()
+    )
+    df_m = _lit_map(
+        (F.lit(t), F.lit(int(d)).cast("long")) for t, (d, _c) in term_stats.items()
+    )
+    ctf_m = _lit_map(
+        (F.lit(t), F.lit(int(c)).cast("long")) for t, (_d, c) in term_stats.items()
     )
     st = matches
     if cand is not None:
         st = st.join(cand, "doc_id")
+    # matches rows exist only for terms present in the index, and the
+    # maps cover exactly those terms, so no lookup returns null; terms
+    # absent from the index contribute no rows (the conjunctive gate
+    # then empties the result, as the old inner joins did)
     st = (
-        st.join(F.broadcast(wdf), "term")
-        .join(F.broadcast(term_stats.filter(F.col("term").isin(list(weights)))), "term")
-        .join(docs.select("doc_id", "doc_len"), "doc_id")
+        st.filter(F.col("term").isin([t for t in term_stats]))
+        .withColumn("mult", mult_m[F.col("term")])
+        .withColumn("df", df_m[F.col("term")])
+        .withColumn("ctf", ctf_m[F.col("term")])
     )
     count_aggs = (
         [F.count(F.lit(1)).alias("_nt")] if n_required is not None else []
@@ -280,7 +306,7 @@ def score_comprehensive(
     kept.  Returns (doc_id, ql, score)."""
     weights = _query_weights(token_words)
     st, count_aggs, finalize = _scored_terms(
-        cand, matches, docs, term_stats, weights, n_required
+        cand, matches, term_stats, weights, n_required
     )
     per_doc = finalize(
         st.withColumn(
@@ -313,7 +339,7 @@ def score_favorite(
     so no docs/signals join at all (r6)."""
     weights = _query_weights(token_words)
     st, count_aggs, finalize = _scored_terms(
-        cand, matches, docs, term_stats, weights, n_required
+        cand, matches, term_stats, weights, n_required
     )
     per_doc = finalize(
         st.withColumn(
@@ -360,7 +386,7 @@ def score_bm25(
     """
     weights = _query_weights(token_words)
     st, count_aggs, finalize = _scored_terms(
-        cand, matches, docs, term_stats, weights, n_required
+        cand, matches, term_stats, weights, n_required
     )
     idf = F.log(
         (F.lit(float(num_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -426,8 +452,26 @@ def run_query(
     from websearchengine_spark.operators.topk import _corpus_stats
 
     num_docs, total_tf, _avg = _corpus_stats(spark, store)
-    term_stats = store.read_table(spark, "term_stats")
     distinct_terms = sorted({w for ws in token_words for w in ws})
+    # term-dictionary probe (see topk._df_lookup): the scorers only need
+    # the query terms' (df, ctf) entries, passed down as a dict and
+    # attached as literal maps — no term_stats scan or broadcast job
+    term_rows = store.lookup_rows(
+        "term_stats", "term", distinct_terms, columns=["term", "df", "ctf"]
+    )
+    if term_rows is None:
+        term_rows = (
+            store.read_table(spark, "term_stats")
+            .filter(F.col("term").isin(distinct_terms))
+            .select("term", "df", "ctf")
+            .collect()
+        )
+    term_stats = {r["term"]: (int(r["df"]), int(r["ctf"])) for r in term_rows}
+    if len(term_stats) < len(distinct_terms):
+        # a query term absent from the dictionary can never satisfy the
+        # conjunctive gate — the result is empty without running a job
+        # (the old plan computed its way to the same zero rows)
+        return docs.limit(0).withColumn("score", F.lit(0.0)).select(*RESULT_COLS)
     need_pos = any(len(ws) > 1 for ws in token_words)
 
     matches = load_postings_for_terms(spark, store, distinct_terms, want_positions=need_pos)
@@ -446,7 +490,7 @@ def run_query(
         _swap_cached_matches(None)
         cand = None
         n_required = len(distinct_terms)
-    matches_tf = matches.select("doc_id", "term", "tf")
+    matches_tf = matches.select("doc_id", "term", "tf", "doc_len")
 
     if ranker == "comprehensive":
         scored = score_comprehensive(

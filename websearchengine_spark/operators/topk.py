@@ -277,6 +277,37 @@ def _idf_table(
     }
 
 
+def _df_lookup(
+    spark, store: IndexStorage, terms: list[str], stats_cache: dict | None
+) -> dict[str, int]:
+    """{term: df} for the query's terms present in this index.
+
+    The term-dictionary probe: storage.lookup_rows reads only the ~k
+    row groups covering the terms driver-side (term_stats is written
+    range-partitioned + term-sorted), replacing a per-query Spark job
+    whose fixed scheduling cost dwarfed its 2-3-row result.  Falls back
+    to the Spark collect when the pyarrow path is unavailable.  The
+    caller-owned ``stats_cache`` memo keeps its exact prior contract
+    (None pins "absent from index")."""
+    known = stats_cache.setdefault("df", {}) if stats_cache is not None else {}
+    missing = [t for t in terms if t not in known]
+    if missing:
+        rows = store.lookup_rows(
+            "term_stats", "term", missing, columns=["term", "df"]
+        )
+        if rows is None:
+            rows = (
+                store.read_table(spark, "term_stats")
+                .filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+        found = {r["term"]: int(r["df"]) for r in rows}
+        for t in missing:
+            known[t] = found.get(t)  # None pins "absent from index"
+    return {t: known[t] for t in terms if known[t] is not None}
+
+
 # Safety margin subtracted from the phase-1 threshold: the per-doc UB is a
 # float sum of per-term maxima, so without a margin a doc whose exact score
 # TIES the threshold could be pruned by last-ulp noise and break the pinned
@@ -438,18 +469,7 @@ def wand_topk(
     if local_df is not None:
         df_by_term = {t: local_df[t] for t in terms if t in local_df}
     else:
-        known = stats_cache.setdefault("df", {}) if stats_cache is not None else {}
-        missing = [t for t in terms if t not in known]
-        if missing:
-            ts = (
-                store.read_table(spark, "term_stats")
-                .filter(F.col("term").isin(missing))
-                .collect()
-            )
-            found = {r["term"]: int(r["df"]) for r in ts}
-            for t in missing:
-                known[t] = found.get(t)  # None pins "absent from index"
-        df_by_term = {t: known[t] for t in terms if known[t] is not None}
+        df_by_term = _df_lookup(spark, store, terms, stats_cache)
     if len(df_by_term) < len(terms):
         return empty()
     idf = _idf_table(num_docs, df_by_term, df_override)
@@ -762,18 +782,7 @@ def wand_topk_batch(
         df_by_term = {t: local_df[t] for t in all_terms if t in local_df}
     else:
         # same memo contract as wand_topk(stats_cache=): absence pinned
-        known = stats_cache.setdefault("df", {}) if stats_cache is not None else {}
-        missing = [t for t in all_terms if t not in known]
-        if missing:
-            ts = (
-                store.read_table(spark, "term_stats")
-                .filter(F.col("term").isin(missing))
-                .collect()
-            )
-            found = {r["term"]: int(r["df"]) for r in ts}
-            for t in missing:
-                known[t] = found.get(t)
-        df_by_term = {t: known[t] for t in all_terms if known[t] is not None}
+        df_by_term = _df_lookup(spark, store, all_terms, stats_cache)
     idf = _idf_table(num_docs, df_by_term, df_override)
     # queries with a term absent from the corpus can never match
     specs = [

@@ -135,8 +135,13 @@ class IndexStorage:
     def table_path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def write_table(self, df, name: str, mode: str = "overwrite", partition_by=None):
+    def write_table(
+        self, df, name: str, mode: str = "overwrite", partition_by=None, options=None
+    ):
         w = df.write.mode(mode)
+        if options:
+            for k, v in options.items():
+                w = w.option(k, v)
         if partition_by:
             w = w.partitionBy(*partition_by)
         p = self.table_path(name)
@@ -232,6 +237,29 @@ class IndexStorage:
     def read_partitioned(self, spark, name: str):
         p = self.table_path(name)
         return read_parquet_cached(spark, p, base_path=p)
+
+    def lookup_rows(self, name: str, key_col: str, values, columns=None):
+        """Driver-side point lookup: rows of table ``name`` whose
+        ``key_col`` is in ``values``, via a pyarrow dataset scan with
+        predicate pushdown.  The term-dictionary read of a search engine
+        is a k-key lookup; a Spark job per lookup costs ~100 ms of fixed
+        scheduling for 2-3 rows.  Row groups are pruned by parquet
+        min/max stats, and build_index writes term_stats range-
+        partitioned + term-sorted, so the scan touches at most ~k row
+        groups regardless of vocabulary size (bounded driver work — this
+        is a dictionary probe, not a data pass).  Returns a list of
+        dicts, or None if the pyarrow path is unavailable (caller falls
+        back to a Spark collect)."""
+        try:
+            import pyarrow.dataset as pads
+
+            d = pads.dataset(self.table_path(name), format="parquet")
+            tbl = d.to_table(
+                columns=columns, filter=pads.field(key_col).isin(list(values))
+            )
+            return tbl.to_pylist()
+        except Exception:
+            return None
 
 
 def skew_report(store: "IndexStorage", spark) -> dict:

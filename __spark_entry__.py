@@ -564,11 +564,16 @@ def q_minhash_signatures(spark, sf_dir):
     scale the digest dominates the shingle pass); DuckDB slices the same
     hex lanes, so engine and oracle stay value-identical.
     """
-    sh = _shingles_spark(spark, sf_dir)
-    digest = F.md5(F.encode(F.col("shingle"), "UTF-8"))
+    # the digest is PROJECTED once per shingle row before the aggregate:
+    # embedding it in all four min() inputs made codegen evaluate md5
+    # four times per row (CollapseProject keeps a non-cheap expression
+    # referenced >1x in its own projection, so this stays one md5 — r6)
+    sh = _shingles_spark(spark, sf_dir).select(
+        "doc_id", F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("_dg")
+    )
     aggs = [
         F.min(
-            F.conv(F.substring(digest, 1 + 8 * h, 8), 16, 10).cast("long")
+            F.conv(F.substring(F.col("_dg"), 1 + 8 * h, 8), 16, 10).cast("long")
         ).alias(f"mh{h}")
         for h in range(4)
     ]

@@ -346,7 +346,11 @@ def build_index(
         F.sum("doc_len").cast("long").alias("total_tf"),
         F.max("doc_len").cast("long").alias("max_dl"),
     )
-    store.write_table(docs_out, "docs")
+    # rebalance on write (guide §6): the docs table inherits the
+    # parallelism-widened partitioning (cores x2 tiny files at bench,
+    # unsized shards at scale); an AQE rebalance sizes output files by
+    # bytes, and EVERY query's metadata join re-lists this table
+    store.write_table(docs_out.hint("rebalance"), "docs")
     ids_parted.unpersist(blocking=False)
     _mark("analyze_and_docs")
 

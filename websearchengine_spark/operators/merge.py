@@ -418,8 +418,13 @@ def merge_many_indexes(
             F.sum("df_shard").cast("long").alias("df"),
             F.sum("ctf_shard").cast("long").alias("ctf"),
         )
+        # same dictionary layout as build_index (r6): term-sorted small
+        # row groups so per-query df lookups prune on min/max stats
+        .sortWithinPartitions("term")
     )
-    out.write_table(term_stats, "term_stats")
+    out.write_table(
+        term_stats, "term_stats", options={"parquet.block.size": str(1 << 20)}
+    )
 
     # compaction preserves index features: inputs carrying a spell-assist
     # table get one rebuilt over the merged vocabulary

@@ -525,7 +525,13 @@ def ivf_topk_indexed(
     is a PARTITION filter on the parquet layout, so the scan reads only
     the nprobe probed lists — nprobe/nlist of the data, per query."""
     probe = _probe_lists(centroids, query_vec, nprobe, round_dots)
-    subset = spark.read.parquet(index_path).filter(F.col("list_id").isin(probe))
+    from websearchengine_spark.sources.storage import read_parquet_cached
+
+    # schema-memoized read (r6): the per-query probe re-opened the index
+    # for schema inference — a fixed-cost Spark job per query
+    subset = read_parquet_cached(spark, index_path).filter(
+        F.col("list_id").isin(probe)
+    )
     return cosine_topk(subset, query_vec, k, id_col, vec_col)
 
 

@@ -122,8 +122,14 @@ def token_candidates(
     vocab = store.read_table(spark, "term_stats")
     # posting-list length in the occurrence format = 2 * ctf
     vocab = vocab.select("term", (2 * F.col("ctf")).alias("freq"))
-    target_rows = vocab.filter(F.col("term") == target).collect()
-    target_freq = target_rows[0]["freq"] if target_rows else 0
+    # target frequency is a 1-term dictionary probe (r6: driver-side
+    # row-group lookup, no Spark job; see storage.lookup_rows)
+    t_rows = store.lookup_rows("term_stats", "term", [target], columns=["term", "ctf"])
+    if t_rows is None:
+        t_rows = vocab.filter(F.col("term") == target).collect()
+        target_freq = t_rows[0]["freq"] if t_rows else 0
+    else:
+        target_freq = 2 * int(t_rows[0]["ctf"]) if t_rows else 0
 
     out: list[str] = [target]
     if len(target) > 1:

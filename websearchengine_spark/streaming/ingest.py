@@ -89,7 +89,7 @@ from websearchengine_spark.operators.merge import (
     merge_many_indexes,
     segment_id_span,
 )
-from websearchengine_spark.sources.storage import IndexStorage
+from websearchengine_spark.sources.storage import IndexStorage, read_parquet_cached
 
 CATALOG_NAME = "_live.json"
 TOMBSTONES_DIR = "tombstones"
@@ -221,14 +221,14 @@ def _read_tomb_file(spark: SparkSession, path: str, seg: str | None):
         return None
     if any(e.startswith("seg=") for e in os.listdir(path)):
         if seg is None:
-            return spark.read.parquet(path).select(
+            return read_parquet_cached(spark, path).select(
                 F.col("seg").cast("string").alias("seg"), "doc_id"
             )
         p = os.path.join(path, f"seg={seg}")
         if not os.path.isdir(p):
             return None
-        return spark.read.parquet(p).select(F.lit(seg).alias("seg"), "doc_id")
-    df = spark.read.parquet(path).select("seg", "doc_id")
+        return read_parquet_cached(spark, p).select(F.lit(seg).alias("seg"), "doc_id")
+    df = read_parquet_cached(spark, path).select("seg", "doc_id")
     return df.filter(F.col("seg") == seg) if seg is not None else df
 
 
@@ -256,10 +256,10 @@ def tombstones_for_segments(
                 p = os.path.join(path, f"seg={s}")
                 if os.path.isdir(p):
                     per_seg[s].append(
-                        spark.read.parquet(p).select("doc_id")
+                        read_parquet_cached(spark, p).select("doc_id")
                     )
         else:
-            flat.append(spark.read.parquet(path).select("seg", "doc_id"))
+            flat.append(read_parquet_cached(spark, path).select("seg", "doc_id"))
     flat_df = _union_all(flat) if flat else None
     out: dict[str, "object"] = {}
     for s in seg_names:
@@ -808,7 +808,11 @@ def search_live(
         F.broadcast(topk)
         .join(docs, "doc_id")
         .select(*RESULT_COLS)
+        # limit is a no-op on the <=k joined rows but compiles the final
+        # sort to TakeOrderedAndProject (no range-sampling job — r6,
+        # same as wand_topk's metadata join)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
     )
 
 
@@ -896,10 +900,14 @@ def search_live_batch(
     # n_queries x k rows vs the union of all segments' docs tables:
     # broadcast the small side (sf1 plan-audit finding — the single-query
     # path at :808 already did)
-    return (
+    out = (
         F.broadcast(topk).join(docs, "doc_id")
         .select(
             "query", "doc_id", "url", "title", "score", "pagerank", "numviews", "rank"
         )
         .orderBy("query", "rank")
     )
+    # bounded final sort when the result is small enough for the
+    # driver-side TakeOrdered heap (see topk.wand_topk_batch — r6)
+    n_bound = max(1, len(queries)) * k
+    return out.limit(n_bound) if n_bound <= 100_000 else out

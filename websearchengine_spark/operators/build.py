@@ -432,19 +432,49 @@ def build_index(
     _bsz = block_size if block_size is not None else _DEFAULT_BSZ
     _hfrac = head_frac if head_frac is not None else DEFAULT_HEAD_FRAC
 
+    # Arrow type of the blocks column (mirrors POSTINGS_SCHEMA)
+    import pyarrow as pa
+
+    _BLOCKS_T = pa.list_(
+        pa.struct(
+            [
+                ("first_docid", pa.int64()),
+                ("last_docid", pa.int64()),
+                ("n", pa.int32()),
+                ("max_tf", pa.int32()),
+                ("max_impact", pa.float64()),
+                ("data", pa.binary()),
+                ("head", pa.bool_()),
+            ]
+        )
+    )
+
     def encode_batches(batches):
         # rows: (shard, term, occs[], dls[]) — ``occs`` is the sorted
         # packed-long occurrence list; ``dls`` the sorted packed-long
         # (doc_id, doc_len) set (positional builds) or empty (positionless
-        # builds pack doc_len directly into each occurrence).
+        # builds pack doc_len directly into each occurrence).  Arrow-
+        # native (r6): each batch's list columns are ONE contiguous int64
+        # buffer + offsets, so per-row arrays are zero-copy numpy slices
+        # instead of pandas object cells (guide §4.2).
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            out = {"shard": [], "term": [], "df_shard": [], "ctf_shard": [], "blocks": []}
-            for shard, term, occ, dlp in zip(
-                pdf["shard"], pdf["term"], pdf["occs"], pdf["dls"]
-            ):
-                occ = np.asarray(occ, dtype=np.int64)
+        for b in batches:
+            shards = b.column(0).to_numpy()
+            terms = b.column(1).to_pylist()
+            occ_col, dl_col = b.column(2), b.column(3)
+            occ_off = occ_col.offsets.to_numpy()
+            occ_val = occ_col.values.to_numpy(zero_copy_only=True)
+            dl_off = dl_col.offsets.to_numpy()
+            dl_val = (
+                dl_col.values.to_numpy(zero_copy_only=True)
+                if len(dl_col.values)
+                else np.empty(0, np.int64)
+            )
+            out_blocks, dfs, ctfs = [], [], []
+            for i in range(len(terms)):
+                occ = occ_val[occ_off[i] : occ_off[i + 1]]
                 d_all = occ >> PACK_BITS
                 # run-length split of the (sorted) doc_id high bits
                 change = np.empty(d_all.size, dtype=bool)
@@ -454,7 +484,7 @@ def build_index(
                 uniq = d_all[starts]
                 counts = np.diff(np.append(starts, d_all.size))
                 if positions:
-                    dlp = np.asarray(dlp, dtype=np.int64)
+                    dlp = dl_val[dl_off[i] : dl_off[i + 1]]
                     if dlp.size != uniq.size or not np.array_equal(
                         dlp >> PACK_BITS, uniq
                     ):
@@ -471,12 +501,31 @@ def build_index(
                     uniq, counts, dls, p, avg_dl, block_size=_bsz,
                     head_frac=_hfrac,
                 )
-                out["shard"].append(int(shard))
-                out["term"].append(term)
-                out["df_shard"].append(int(uniq.size))
-                out["ctf_shard"].append(int(d_all.size))
-                out["blocks"].append(blocks)
-            yield pd.DataFrame(out)
+                out_blocks.append(
+                    [
+                        {
+                            "first_docid": t[0],
+                            "last_docid": t[1],
+                            "n": t[2],
+                            "max_tf": t[3],
+                            "max_impact": t[4],
+                            "data": t[5],
+                            "head": t[6],
+                        }
+                        for t in blocks
+                    ]
+                )
+                dfs.append(int(uniq.size))
+                ctfs.append(int(d_all.size))
+            yield pa.record_batch(
+                {
+                    "shard": pa.array(shards, pa.int32()),
+                    "term": pa.array(terms, pa.string()),
+                    "df_shard": pa.array(dfs, pa.int64()),
+                    "ctf_shard": pa.array(ctfs, pa.int64()),
+                    "blocks": pa.array(out_blocks, _BLOCKS_T),
+                }
+            )
 
     def plists_for(part):
         pk = F.shiftleft(F.col("doc_id"), PACK_BITS)
@@ -536,7 +585,7 @@ def build_index(
         part = occs.withColumn(
             "shard", (F.col("doc_id") % F.lit(n_shards)).cast("int")
         )
-        postings = plists_for(part).mapInPandas(
+        postings = plists_for(part).mapInArrow(
             encode_batches, schema=POSTINGS_SCHEMA
         ).withColumn("group", (F.col("shard") % F.lit(n_groups)).cast("int"))
         gm_obs = Observation("group_metrics")
@@ -574,7 +623,7 @@ def build_index(
             )
     else:
         for g in remaining:
-            postings = plists_for(group_slice(g)).mapInPandas(
+            postings = plists_for(group_slice(g)).mapInArrow(
                 encode_batches, schema=POSTINGS_SCHEMA
             )
             obs = Observation(f"group_metrics_{g}_{build_id}")

@@ -14,11 +14,14 @@ Pipeline (all DataFrame; boundaries are Spark stages):
       │ sort_array(collect_list(occ_packed))  — 8 B/occurrence
       │ sort_array(collect_set(dl_packed))    — map-side dedup, ~df rows
       ▼
-    mapInPandas encode: numpy run-length split per doc,
-      delta-gap + varbyte block-max blocks
+    mapInArrow encode: zero-copy numpy slices of the packed-long
+      buffers, run-length split per doc, delta-gap + varbyte
+      block-max blocks (r6)
       ▼
-    postings(shard, term, df_shard, ctf_shard, blocks)   [written per shard-group]
-    term_stats = sum of per-shard df/ctf over postings   [tiny agg, no rescan]
+    postings(shard, term, df_shard, ctf_shard, blocks)   [one dynamic-
+      partitioned write for fresh builds; per-group commits either way]
+    term_stats = sum of per-shard df/ctf over postings   [tiny agg, no
+      rescan; term-sorted 1 MB row groups = the query-time dictionary]
 
 Scale design decisions (the 100 TB story):
 

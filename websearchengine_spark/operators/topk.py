@@ -324,14 +324,22 @@ LAST_WAND_STATS: dict = {}
 # the extra phase-1 job costs more wall-clock than pruning saves.
 WAND_TWO_PHASE_MIN_POSTINGS = 200_000
 # ...and only when each SHARD carries enough postings to amortize it:
-# phase 1 is one extra Spark job (fixed scheduling cost, ~100-300 ms in
-# local mode; an extra stage on a cluster), while its benefit is kernel
+# phase 1 is one extra pass (fixed scheduling cost plus a one-shard
+# scoring pass that is SERIAL driver work), while its benefit is kernel
 # decode/score work avoided in phase 2 — proportional to PER-SHARD
 # volume, not the total.  The r5 sf1 session measured the gate firing at
-# ~7.3k postings/shard and LOSING 13% wall despite pruning 90% of the
-# candidates; bench/wand_pruning.py puts the kernel's win regime at
-# >= ~10^5 postings per shard.
-WAND_TWO_PHASE_MIN_SHARD_POSTINGS = 50_000
+# ~7.3k postings/shard and LOSING 13%; bench/wand_pruning.py put the
+# KERNEL's win regime at >= ~1e5 postings/shard, but the r6 end-to-end
+# probe (bench/wand_live_win.py, zipf corpus, identical top-k) measured
+# the full path LOSING ~40% at BOTH 117k/shard (100k docs x 4 shards)
+# and 51k/shard (350k docs x 32 shards): the kernel stage is
+# Arrow-transfer-dominated and the threshold only skips ~16% of blocks
+# pre-decode, so the phase-1 pass cannot repay itself at any volume this
+# sandbox reaches (BENCH/BASELINE.md §BENCH_SF1, WAND_LIVE_WIN_r06).
+# The floor is set an order of magnitude beyond the largest measured
+# losing point; explicit two_phase=True remains available and
+# result-identical.
+WAND_TWO_PHASE_MIN_SHARD_POSTINGS = 500_000
 # ... and only when ONE shard's share of the query's postings fits the
 # driver comfortably (phase 1 collects that shard's blocks).  At cluster
 # scale (thousands of shards) this is never binding; it guards the
@@ -525,11 +533,23 @@ def wand_topk(
     phase1_shard = None
     if two_phase:
         phase1_shard = 0
-        rows0 = (
-            postings.filter(F.col("shard") == phase1_shard)
-            .select("term", "blocks")
-            .collect()
+        p0 = postings.filter(F.col("shard") == phase1_shard).select(
+            "term", "blocks"
         )
+        try:
+            # Arrow collect (r6): the shard's blocks arrive as one IPC
+            # batch instead of py4j Row objects — phase 1's fixed cost
+            # is the gate's break-even term, so keep it cheap
+            tbl0 = p0.toArrow()
+            rows0 = [
+                {"term": t, "blocks": b}
+                for t, b in zip(
+                    tbl0.column("term").to_pylist(),
+                    tbl0.column("blocks").to_pylist(),
+                )
+            ]
+        except AttributeError:  # pragma: no cover - pre-4.0 fallback
+            rows0 = p0.collect()
         if rows0:
             excl0 = excl
             if exclude_df is not None:

@@ -96,11 +96,19 @@ _TOKS_CTE = (
 # --------------------------------------------------------------------------
 
 def q_term_df(spark, sf_dir):
-    """A3: corpus document frequency, top 100 (df desc, term asc)."""
+    """A3: corpus document frequency, top 100 (df desc, term asc).
+
+    count(DISTINCT doc_id) per term == count of per-doc DISTINCT terms
+    (doc_id is the documents table's unique key), so dedup happens in the
+    array BEFORE the explode: one plain count agg instead of the
+    two-level distinct aggregation — one Exchange fewer, and the shuffle
+    carries (term, partial_count) rows instead of every (term, doc_id)
+    pair (r6; value- and schema-identical at all SFs)."""
     return (
-        _toks(spark, sf_dir)
+        _widen(_docs(spark, sf_dir))
+        .select(F.explode(F.array_distinct(_tok_expr())).alias("term"))
         .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count("*").alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(100)
     )
@@ -577,7 +585,13 @@ def q_minhash_signatures(spark, sf_dir):
         ).alias(f"mh{h}")
         for h in range(4)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    out = sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    # exactly one signature row per doc comes out; bounding the final
+    # sort turns it into TakeOrderedAndProject (no range-sampling job —
+    # same r6 pattern as the pagerank entries) with the usual driver-heap
+    # guard for corpora past collect scale
+    n = _pq_nrows(f"{sf_dir}/documents.parquet")
+    return out.limit(n) if n and n <= 100_000 else out
 
 
 SQL_MINHASH = (

@@ -424,7 +424,9 @@ def q_pagerank(spark, sf_dir):
     from websearchengine_spark.operators.graph import pagerank_iterate
 
     nodes, edges, n_docs = _synthetic_graph(spark, sf_dir)
-    ranks = pagerank_iterate(nodes, edges, lam=0.9, iters=2)
+    # doc_id is the documents table's unique key -> the defensive
+    # node-dedup exchange is skippable (pagerank_iterate(nodes_unique=))
+    ranks = pagerank_iterate(nodes, edges, lam=0.9, iters=2, nodes_unique=True)
     # exactly num_docs rows come out; the limit is a no-op on the rows
     # but turns the global sort into TakeOrderedAndProject (no
     # range-partitioner sampling job before the driver collects anyway)
@@ -440,7 +442,7 @@ def q_pagerank_10iter(spark, sf_dir):
     from websearchengine_spark.operators.graph import pagerank_iterate
 
     nodes, edges, n_docs = _synthetic_graph(spark, sf_dir)
-    ranks = pagerank_iterate(nodes, edges, lam=0.9, iters=10)
+    ranks = pagerank_iterate(nodes, edges, lam=0.9, iters=10, nodes_unique=True)
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
     ).orderBy("doc_id").limit(n_docs)

@@ -119,6 +119,39 @@ def test_link_extraction_regex_semantics():
     assert all("/" not in t and "#" not in t and " " not in t for t in got)
 
 
+def test_pagerank_nodes_unique_flag_identical(spark):
+    """pagerank_iterate(nodes_unique=True) skips only the defensive
+    node dedup — on a genuinely unique node set the ranks must be
+    bit-identical to the default path (r6: the dedup is a full exchange
+    of the node set, skippable when the caller passes a keyed table)."""
+    from websearchengine_spark.operators.graph import pagerank_iterate
+
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "node long")
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(20) if i != (i * 3 + 1) % 20]
+        + [(i, (i * 7 + 2) % 20) for i in range(20) if i != (i * 7 + 2) % 20],
+        "src long, dst long",
+    ).distinct()
+    base = {
+        r["node"]: r["rank"]
+        for r in pagerank_iterate(nodes, edges, lam=0.9, iters=3).collect()
+    }
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank_iterate(
+            nodes, edges, lam=0.9, iters=3, nodes_unique=True
+        ).collect()
+    }
+    assert base == fast
+    # and the DEFAULT path still dedups a non-unique node input
+    dup_nodes = nodes.union(nodes)
+    dedup = {
+        r["node"]: r["rank"]
+        for r in pagerank_iterate(dup_nodes, edges, lam=0.9, iters=3).collect()
+    }
+    assert dedup == base
+
+
 def test_spearman_known_value(spark):
     """rho on a hand-checked 4-point example."""
     from websearchengine_spark.operators.graph import spearman

@@ -110,6 +110,7 @@ def pagerank_iterate(
     iters: int = PR_ITERS,
     checkpoint_every: int = 4,
     tol: float | None = None,
+    nodes_unique: bool = False,
 ) -> DataFrame:
     """The Jacobi PageRank loop over an explicit (node) / (src, dst)
     graph — the reference's fixed-iteration scheme
@@ -127,8 +128,18 @@ def pagerank_iterate(
         max |rank - prev| < tol (one extra tiny agg per round), capped
         at ``iters``.
 
+    ``nodes_unique=True`` is the caller's guarantee that ``nodes`` has
+    no duplicate rows, skipping the defensive ``distinct()`` — that
+    dedup is a full exchange of the node set before the loop even
+    starts (r6; duplicate nodes under the flag would double-count
+    ranks, so only assert it for genuinely keyed inputs such as a doc
+    table's primary key).
+
     Returns (node, rank)."""
-    nodes = nodes.select("node").distinct().persist()
+    nodes = nodes.select("node")
+    if not nodes_unique:
+        nodes = nodes.distinct()
+    nodes = nodes.persist()
     # contribution topology is fixed across iterations: cache it.
     # outdeg is attached with a window over src rather than a groupBy +
     # self-join — one exchange instead of three (guide §2.4), and when

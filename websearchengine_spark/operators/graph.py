@@ -196,7 +196,8 @@ def pagerank(
     canon = canonical_nodes(urls).persist()
     edges = build_link_graph(pages).persist()
     nodes = canon.select("node").distinct()
-    ranks = pagerank_iterate(nodes, edges, lam=lam, iters=iters)
+    # nodes are distinct'd one line up — skip the iterate-side re-dedup
+    ranks = pagerank_iterate(nodes, edges, lam=lam, iters=iters, nodes_unique=True)
     # write-out rule: url X gets 0.0 if X.html is also a corpus url
     # (CorpusAnalyzerPagerank.java:160-164)
     alias_targets = urls.select(F.col("url").alias("_alias_html"))

@@ -21,7 +21,11 @@ def make_pyfiles_zip(out_path: str | None = None) -> str:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     if out_path is None:
         out_path = os.path.join(tempfile.gettempdir(), "websearchengine_spark.zip")
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+    # write-then-rename: the zip sits on the worker PYTHONPATH (fastdaemon
+    # wiring below), so a concurrent get_spark in another process must
+    # never expose a half-written archive to a launching daemon
+    tmp_path = f"{out_path}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for dirpath, _dirs, files in os.walk(pkg_dir):
             for fn in files:
                 if fn.endswith(".py"):
@@ -30,6 +34,7 @@ def make_pyfiles_zip(out_path: str | None = None) -> str:
                         "websearchengine_spark", os.path.relpath(full, pkg_dir)
                     )
                     zf.write(full, rel)
+    os.replace(tmp_path, out_path)
     return out_path
 
 
@@ -74,6 +79,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
+    # Python-worker daemon with the CPython-3.12 zipimport stat gate
+    # (fastdaemon.py): pyspark.worker invalidates import caches once per
+    # task, and on <=3.11 that re-parses every sys.path archive's central
+    # directory — measured ~130 ms per task before any UDF body runs, the
+    # dominant fixed cost of every Python stage.  The package zip rides
+    # the worker PYTHONPATH so the daemon module resolves before the
+    # first task ships it via addPyFile.  Local masters only by default:
+    # on a cluster the driver-local zip path does not exist on executors
+    # (ship it and set SPARK_GRAFT_FASTDAEMON=1 to enable there).
+    _fd = os.environ.get("SPARK_GRAFT_FASTDAEMON", "")
+    if _fd != "0" and os.name == "posix" and (
+        master.startswith("local") or _fd == "1"
+    ):
+        b = b.config(
+            "spark.python.daemon.module", "websearchengine_spark.fastdaemon"
+        ).config("spark.executorEnv.PYTHONPATH", make_pyfiles_zip())
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

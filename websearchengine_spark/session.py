@@ -92,9 +92,14 @@ def get_spark(
     if _fd != "0" and os.name == "posix" and (
         master.startswith("local") or _fd == "1"
     ):
-        b = b.config(
-            "spark.python.daemon.module", "websearchengine_spark.fastdaemon"
-        ).config("spark.executorEnv.PYTHONPATH", make_pyfiles_zip())
+        try:
+            _pyzip = make_pyfiles_zip()
+        except OSError:
+            _pyzip = None  # unwritable tmp: run the stock daemon instead
+        if _pyzip is not None:
+            b = b.config(
+                "spark.python.daemon.module", "websearchengine_spark.fastdaemon"
+            ).config("spark.executorEnv.PYTHONPATH", _pyzip)
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

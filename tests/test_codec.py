@@ -177,3 +177,67 @@ def test_hybrid_kernel_identity_and_tail_skip():
     assert st2["blocks_decoded"] < stp["blocks_decoded"], (
         st2["blocks_decoded"], stp["blocks_decoded"],
     )
+
+
+# ---- batched varbyte (the build/compaction encode path) ---------------
+
+def test_varbyte_encode_many_matches_singles():
+    from websearchengine_spark.functions.codec import (
+        varbyte_encode,
+        varbyte_encode_many,
+    )
+
+    rng = np.random.default_rng(7)
+    chunks = [
+        rng.integers(0, 1 << int(b), size=int(n), dtype=np.int64)
+        for b, n in zip(rng.integers(1, 62, size=50), rng.integers(0, 40, size=50))
+    ]
+    chunks.insert(0, np.empty(0, dtype=np.int64))  # leading empty chunk
+    chunks.append(np.empty(0, dtype=np.int64))  # trailing empty chunk
+    out = varbyte_encode_many(chunks)
+    assert len(out) == len(chunks)
+    for c, b in zip(chunks, out):
+        assert b == varbyte_encode(c)
+    assert varbyte_encode_many([]) == []
+    assert varbyte_encode_many([np.empty(0, np.int64)] * 3) == [b"", b"", b""]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=(1 << 62) - 1), max_size=20),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_varbyte_encode_many_property(chunk_lists):
+    from websearchengine_spark.functions.codec import (
+        varbyte_encode,
+        varbyte_encode_many,
+    )
+
+    chunks = [np.array(c, dtype=np.int64) for c in chunk_lists]
+    assert varbyte_encode_many(chunks) == [varbyte_encode(c) for c in chunks]
+
+
+def test_encode_posting_blocks_defer_bytes_identical():
+    from websearchengine_spark.functions.codec import (
+        encode_posting_blocks,
+        varbyte_encode_many,
+    )
+
+    rng = np.random.default_rng(11)
+    for head_frac, m in [(0.0, 5), (0.0, 300), (0.05, 2000)]:
+        docs = np.sort(rng.choice(100000, size=m, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 5, size=m).astype(np.int64)
+        dls = rng.integers(10, 200, size=m).astype(np.int64)
+        pos = np.concatenate(
+            [np.sort(rng.integers(0, 200, size=t)) for t in tfs]
+        ).astype(np.int64)
+        eager = encode_posting_blocks(docs, tfs, dls, pos, 55.0, head_frac=head_frac)
+        deferred = encode_posting_blocks(
+            docs, tfs, dls, pos, 55.0, head_frac=head_frac, _defer_bytes=True
+        )
+        datas = varbyte_encode_many([b[5] for b in deferred])
+        rebuilt = [b[:5] + (d,) + b[6:] for b, d in zip(deferred, datas)]
+        assert rebuilt == eager

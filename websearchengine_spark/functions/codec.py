@@ -65,6 +65,41 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_many(chunks: list[np.ndarray]) -> list[bytes]:
+    """Encode MANY value arrays in one vectorized pass.
+
+    Byte-identical per chunk to ``varbyte_encode(chunk)`` (varbyte is
+    per-value independent, so concatenating inputs and splitting the
+    output at value boundaries is exact).  Exists because the encoder's
+    per-call numpy overhead (~60 us on the block-sized arrays the index
+    build emits) dominates the build's encode stage when called once per
+    block; one call per Arrow batch amortizes it (guide §4.2).
+    """
+    if not chunks:
+        return []
+    lens = np.array([np.asarray(c).size for c in chunks], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return [b""] * len(chunks)
+    v = np.concatenate([np.asarray(c, dtype=np.uint64) for c in chunks if len(c)])
+    nb = np.ones(v.shape, dtype=np.int8)
+    for width in range(2, _MAX_GROUPS + 1):
+        nb = np.where(v >= (1 << (7 * (width - 1))), width, nb)
+    shifts = np.arange(_MAX_GROUPS - 1, -1, -1, dtype=np.uint64) * np.uint64(7)
+    groups = (v[:, None] >> shifts[None, :]).astype(np.uint8) & _MASK7
+    keep = np.arange(_MAX_GROUPS)[None, :] >= (_MAX_GROUPS - nb[:, None])
+    groups[:, _MAX_GROUPS - 1] |= _TERM
+    buf = groups[keep].tobytes()
+    # byte offset of each chunk = cumulative bytes of the values before it
+    byte_cum = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(nb, out=byte_cum[1:])
+    val_bounds = np.zeros(len(chunks) + 1, dtype=np.int64)
+    np.cumsum(lens, out=val_bounds[1:])
+    offs = byte_cum[val_bounds]
+    mv = memoryview(buf)
+    return [bytes(mv[offs[i] : offs[i + 1]]) for i in range(len(chunks))]
+
+
 def varbyte_decode(data: bytes | np.ndarray) -> np.ndarray:
     """Decode a full varbyte stream back into an int64 array. Vectorized."""
     raw = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
@@ -146,8 +181,14 @@ def _encode_run(
     impacts: np.ndarray,
     block_size: int,
     head: bool,
+    _defer_bytes: bool = False,
 ) -> list[tuple[int, int, int, int, float, bytes, bool]]:
-    """Encode one doc-ordered posting run into flagged blocks."""
+    """Encode one doc-ordered posting run into flagged blocks.
+
+    ``_defer_bytes=True`` returns the per-block VALUE ARRAY in the data
+    slot instead of varbyte bytes, so a batching caller can run ONE
+    ``varbyte_encode_many`` over many blocks (byte-identical output;
+    the build's Arrow encoder uses this — guide §4.2)."""
     m = doc_ids.size
     pos_offsets = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(tfs, out=pos_offsets[1:])
@@ -164,9 +205,10 @@ def _encode_run(
             pdelta = np.diff(p, prepend=np.int64(0))
             starts_of_docs = pos_offsets[start:end] - pos_offsets[start]
             pdelta[starts_of_docs] = p[starts_of_docs]
-            data = varbyte_encode(np.concatenate([gaps, t, dl, pdelta]))
+            vals = np.concatenate([gaps, t, dl, pdelta])
         else:
-            data = varbyte_encode(np.concatenate([gaps, t, dl]))
+            vals = np.concatenate([gaps, t, dl])
+        data = vals if _defer_bytes else varbyte_encode(vals)
         blocks.append(
             (
                 int(d[0]),
@@ -189,6 +231,7 @@ def encode_posting_blocks(
     avg_dl: float,
     block_size: int = BLOCK_SIZE,
     head_frac: float = 0.0,
+    _defer_bytes: bool = False,
 ) -> list[tuple[int, int, int, int, float, bytes, bool]]:
     """Encode one term's posting list into block-max blocks.
 
@@ -236,11 +279,13 @@ def encode_posting_blocks(
                 _encode_run(
                     doc_ids[sel], tfs[sel], doc_lens[sel], p,
                     impacts[sel], block_size, is_head,
+                    _defer_bytes=_defer_bytes,
                 )
             )
         return out
     return _encode_run(
-        doc_ids, tfs, doc_lens, positions, impacts, block_size, False
+        doc_ids, tfs, doc_lens, positions, impacts, block_size, False,
+        _defer_bytes=_defer_bytes,
     )
 
 

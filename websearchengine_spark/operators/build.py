@@ -459,9 +459,16 @@ def build_index(
         # builds pack doc_len directly into each occurrence).  Arrow-
         # native (r6): each batch's list columns are ONE contiguous int64
         # buffer + offsets, so per-row arrays are zero-copy numpy slices
-        # instead of pandas object cells (guide §4.2).
+        # instead of pandas object cells (guide §4.2).  Varbyte bytes are
+        # DEFERRED per block and encoded in ONE vectorized pass per batch
+        # (varbyte_encode_many — byte-identical; the per-call numpy
+        # overhead on block-sized arrays dominated the stage), and the
+        # blocks column is built column-wise instead of list-of-dicts
+        # (~20x cheaper conversion).
         import numpy as np
         import pyarrow as pa
+
+        from websearchengine_spark.functions.codec import varbyte_encode_many
 
         for b in batches:
             shards = b.column(0).to_numpy()
@@ -475,7 +482,7 @@ def build_index(
                 if len(dl_col.values)
                 else np.empty(0, np.int64)
             )
-            out_blocks, dfs, ctfs = [], [], []
+            flat_blocks, n_blocks, dfs, ctfs = [], [], [], []
             for i in range(len(terms)):
                 occ = occ_val[occ_off[i] : occ_off[i + 1]]
                 d_all = occ >> PACK_BITS
@@ -502,31 +509,40 @@ def build_index(
                     p = None
                 blocks = encode_posting_blocks(
                     uniq, counts, dls, p, avg_dl, block_size=_bsz,
-                    head_frac=_hfrac,
+                    head_frac=_hfrac, _defer_bytes=True,
                 )
-                out_blocks.append(
-                    [
-                        {
-                            "first_docid": t[0],
-                            "last_docid": t[1],
-                            "n": t[2],
-                            "max_tf": t[3],
-                            "max_impact": t[4],
-                            "data": t[5],
-                            "head": t[6],
-                        }
-                        for t in blocks
-                    ]
-                )
+                flat_blocks.extend(blocks)
+                n_blocks.append(len(blocks))
                 dfs.append(int(uniq.size))
                 ctfs.append(int(d_all.size))
+            datas = varbyte_encode_many([blk[5] for blk in flat_blocks])
+            offs = np.zeros(len(n_blocks) + 1, dtype=np.int32)
+            np.cumsum(n_blocks, out=offs[1:])
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array([blk[0] for blk in flat_blocks], pa.int64()),
+                    pa.array([blk[1] for blk in flat_blocks], pa.int64()),
+                    pa.array([blk[2] for blk in flat_blocks], pa.int32()),
+                    pa.array([blk[3] for blk in flat_blocks], pa.int32()),
+                    pa.array([blk[4] for blk in flat_blocks], pa.float64()),
+                    pa.array(datas, pa.binary()),
+                    pa.array([blk[6] for blk in flat_blocks], pa.bool_()),
+                ],
+                names=[
+                    "first_docid", "last_docid", "n", "max_tf",
+                    "max_impact", "data", "head",
+                ],
+            )
+            blocks_arr = pa.ListArray.from_arrays(pa.array(offs), struct)
+            if blocks_arr.type != _BLOCKS_T:
+                blocks_arr = blocks_arr.cast(_BLOCKS_T)
             yield pa.record_batch(
                 {
                     "shard": pa.array(shards, pa.int32()),
                     "term": pa.array(terms, pa.string()),
                     "df_shard": pa.array(dfs, pa.int64()),
                     "ctf_shard": pa.array(ctfs, pa.int64()),
-                    "blocks": pa.array(out_blocks, _BLOCKS_T),
+                    "blocks": blocks_arr,
                 }
             )
 

@@ -52,6 +52,7 @@ from websearchengine_spark.functions.codec import (
     DEFAULT_HEAD_FRAC,
     decode_posting_blocks,
     encode_posting_blocks,
+    varbyte_encode_many,
 )
 from websearchengine_spark.operators.build import POSTINGS_SCHEMA
 from websearchengine_spark.sources.storage import IndexStorage
@@ -349,13 +350,24 @@ def merge_many_indexes(
                 dl = np.concatenate(dls_l)
                 p = np.concatenate(pos_l) if positions else None
                 blocks = encode_posting_blocks(
-                    d, t, dl, p, avg_dl, block_size=block_size, head_frac=head_frac
+                    d, t, dl, p, avg_dl, block_size=block_size,
+                    head_frac=head_frac, _defer_bytes=True,
                 )
                 out_rows["shard"].append(int(shard))
                 out_rows["term"].append(term)
                 out_rows["df_shard"].append(int(d.size))
                 out_rows["ctf_shard"].append(int(t.sum()))
                 out_rows["blocks"].append(blocks)
+            # one vectorized varbyte pass over every block in the batch
+            # (byte-identical to per-block encoding; same win as the
+            # build encoder — the per-call numpy overhead dominates on
+            # block-sized arrays)
+            flat = [blk for bl in out_rows["blocks"] for blk in bl]
+            datas = iter(varbyte_encode_many([blk[5] for blk in flat]))
+            out_rows["blocks"] = [
+                [blk[:5] + (next(datas),) + blk[6:] for blk in bl]
+                for bl in out_rows["blocks"]
+            ]
             yield pd.DataFrame(out_rows)
 
     # grouped rows are FAT (full block lists) — cap Arrow batch rows,
